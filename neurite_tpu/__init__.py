@@ -1,0 +1,12 @@
+"""
+neurite_tpu — a TPU-native (JAX/XLA/Pallas/pjit) medical-image neural-network
+toolbox with the capabilities of adalca/neurite.
+
+Import as `import neurite_tpu as ne`; submodules mirror the reference public
+API (`ne.utils`, `ne.layers`, `ne.models`, `ne.metrics`, `ne.losses`, ...).
+"""
+
+__version__ = '0.1.0'
+
+from neurite_tpu import py  # noqa: F401
+from neurite_tpu import utils  # noqa: F401

@@ -1,0 +1,10 @@
+"""
+ne.utils — tensor ops (+ augment) namespace, mirroring the reference layout
+(`neurite/tf/utils/__init__.py`): core ops are star-exported so
+`ne.utils.interpn` etc. resolve; `augment` is a submodule.
+"""
+from neurite_tpu.utils.core import *  # noqa: F401,F403
+from neurite_tpu.utils import augment  # noqa: F401
+from neurite_tpu.utils.augment import (  # noqa: F401
+    draw_perlin, random_blur_rescale, draw_perlin_full, draw_crop_mask,
+)
