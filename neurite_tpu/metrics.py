@@ -1,0 +1,348 @@
+"""
+Metrics (Dice, soft Mutual Information, weighted CCE/MSE).
+
+Capability parity with reference `neurite/tf/metrics.py` (file:line cites per
+class), re-designed TPU-first: every metric is a pure jnp reduction built from
+batched matmuls / fused elementwise ops (MXU-friendly `einsum` for the MI joint
+histogram, one-pass sums for Dice). All are jit/vmap/grad-composable and work
+under pjit with sharded batches (reductions are per-item; a final `pmean` in the
+train loop aggregates across devices).
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurite_tpu.utils import core
+
+EPSILON = 1e-7  # keras backend epsilon, for formula-level parity
+
+
+def _check_limits(x, name):
+    """Host-side range check when values are concrete (tracing skips it)."""
+    if isinstance(x, jax.core.Tracer):
+        return
+    xn = np.asarray(x)
+    if xn.size and (xn.min() < 0 or xn.max() > 1):
+        raise ValueError(f'{name}: value outside range [0, 1]')
+
+
+class MutualInformation:
+    """
+    Soft mutual-information approximation between volumes and/or probabilistic
+    maps, via soft quantization (RBF binning).
+
+    Parity: reference `neurite/tf/metrics.py:41-336`. The joint histogram
+    `pxy = x^T y` is a batched matmul (`metrics.py:253-256`) — on TPU this is
+    the MXU hot path, with the soft-quantize fused in by XLA.
+
+    Methods: volumes, segs, volume_seg, channelwise, maps.
+    """
+
+    def __init__(self, bin_centers=None, nb_bins=None, soft_bin_alpha=None,
+                 min_clip=None, max_clip=None):
+        self.bin_centers = None
+        if bin_centers is not None:
+            self.bin_centers = jnp.asarray(bin_centers, jnp.float32)
+            assert nb_bins is None, 'cannot provide both bin_centers and nb_bins'
+            nb_bins = self.bin_centers.shape[0]
+
+        self.nb_bins = nb_bins
+        if bin_centers is None and nb_bins is None:
+            self.nb_bins = 16
+
+        self.min_clip = -np.inf if min_clip is None else min_clip
+        self.max_clip = np.inf if max_clip is None else max_clip
+
+        self.soft_bin_alpha = soft_bin_alpha
+        if self.soft_bin_alpha is None:
+            # sigma heuristic from bin spacing (ref metrics.py:109-117)
+            sigma_ratio = 0.5
+            if self.bin_centers is None:
+                sigma = sigma_ratio / (self.nb_bins - 1)
+            else:
+                sigma = sigma_ratio * jnp.mean(jnp.diff(self.bin_centers))
+            self.soft_bin_alpha = 1 / (2 * jnp.square(sigma))
+
+    def volumes(self, x, y):
+        """MI per batch item between two single-channel volumes [bs, ..., 1]."""
+        msg = 'volume_mi requires two single-channel volumes. See channelwise().'
+        assert x.shape[-1] == 1 and y.shape[-1] == 1, msg
+        return core.flatten(self.channelwise(x, y))
+
+    def segs(self, x, y):
+        """MI between two probabilistic segmentation maps [bs, ..., L]."""
+        return self.maps(x, y)
+
+    def volume_seg(self, x, y):
+        """MI between a volume [bs,...,1] and a soft segmentation [bs,...,L]."""
+        assert min(x.shape[-1], y.shape[-1]) == 1, \
+            'volume_seg_mi requires one single-channel volume.'
+        assert max(x.shape[-1], y.shape[-1]) > 1, \
+            'volume_seg_mi requires one multi-channel segmentation.'
+        if x.shape[-1] == 1:
+            x = self._soft_sim_map(x[..., 0])
+        else:
+            y = self._soft_sim_map(y[..., 0])
+        return self.maps(x, y)
+
+    def channelwise(self, x, y):
+        """MI per channel: [bs, ..., C] x2 -> [bs, C]."""
+        assert x.shape == y.shape, 'volume shapes do not match'
+        if x.ndim != 3:
+            x = x.reshape(x.shape[0], -1, x.shape[-1])
+            y = y.reshape(y.shape[0], -1, y.shape[-1])
+
+        # [C, bs, V]
+        cx = jnp.moveaxis(x, -1, 0)
+        cy = jnp.moveaxis(y, -1, 0)
+        cxq = self._soft_sim_map(cx)  # [C, bs, V, B]
+        cyq = self._soft_sim_map(cy)
+        cout = jax.vmap(self.maps)(cxq, cyq)  # [C, bs] — vectorized, not map_fn
+        return jnp.transpose(cout, (1, 0))
+
+    def maps(self, x, y):
+        """
+        MI per batch item from per-voxel probability/similarity maps
+        [bs, ..., B]. The joint pxy is an MXU batched matmul.
+
+        Parity: reference `neurite/tf/metrics.py:228-282` (formula-for-formula,
+        including epsilon placement).
+        """
+        assert x.shape[:-1] == y.shape[:-1], 'map shapes do not match'
+        eps = EPSILON
+
+        if x.ndim != 3:
+            x = x.reshape(x.shape[0], -1, x.shape[-1])
+            y = y.reshape(y.shape[0], -1, y.shape[-1])
+
+        # joint probability: [bs, B1, B2]
+        pxy = jnp.einsum('bvi,bvj->bij', x, y,
+                         preferred_element_type=jnp.float32)
+        pxy = pxy / (jnp.sum(pxy, axis=(1, 2), keepdims=True) + eps)
+
+        px = jnp.sum(x, 1, keepdims=True)                      # [bs, 1, B1]
+        px = px / (jnp.sum(px, 2, keepdims=True) + eps)
+        py = jnp.sum(y, 1, keepdims=True)                      # [bs, 1, B2]
+        py = py / (jnp.sum(py, 2, keepdims=True) + eps)
+
+        pxpy = jnp.einsum('bki,bkj->bij', px, py,
+                          preferred_element_type=jnp.float32)  # [bs, B1, B2]
+        log_term = jnp.log(pxy / (pxpy + eps) + eps)
+        return jnp.sum(pxy * log_term, axis=(1, 2))
+
+    def _soft_log_sim_map(self, x):
+        return core.soft_quantize(
+            x, alpha=self.soft_bin_alpha, bin_centers=self.bin_centers,
+            nb_bins=None if self.bin_centers is not None else self.nb_bins,
+            min_clip=self.min_clip, max_clip=self.max_clip, return_log=True)
+
+    def _soft_sim_map(self, x):
+        return core.soft_quantize(
+            x, alpha=self.soft_bin_alpha, bin_centers=self.bin_centers,
+            nb_bins=None if self.bin_centers is not None else self.nb_bins,
+            min_clip=self.min_clip, max_clip=self.max_clip, return_log=False)
+
+    def _soft_prob_map(self, x):
+        x_hist = self._soft_sim_map(x)
+        return x_hist / (jnp.sum(x_hist, -1, keepdims=True) + EPSILON)
+
+
+class Dice:
+    """
+    Soft/hard Dice with per-label (or per-batch) weighting.
+
+    Parity: reference `neurite/tf/metrics.py:339-519`: top = 2*sum(xy),
+    bottom = sum(x^2) + sum(y^2) over voxels, laplace smoothing or safe
+    division. On TPU the three sums fuse into a single pass over the volume.
+    """
+
+    def __init__(self, dice_type='soft', input_type='prob', nb_labels=None,
+                 weights=None, check_input_limits=True, laplace_smoothing=0.,
+                 normalize=False):
+        self.dice_type = dice_type
+        self.input_type = input_type
+        self.nb_labels = nb_labels
+        self.weights = None if weights is None else jnp.asarray(weights)
+        self.normalize = normalize
+        self.check_input_limits = check_input_limits
+        self.laplace_smoothing = laplace_smoothing
+
+        assert self.input_type in ['prob', 'max_label']
+        if self.dice_type == 'hard' and self.input_type == 'max_label':
+            assert self.nb_labels is not None, 'If doing hard Dice need nb_labels'
+        if self.dice_type == 'soft':
+            assert self.input_type in ['prob', 'one_hot'], \
+                'if doing soft Dice, must use probabilistic (one_hot) encoding'
+
+    def dice(self, y_true, y_pred):
+        """Dice per batch item and label: -> [batch_size, nb_labels]."""
+        y_true = jnp.asarray(y_true)
+        y_pred = jnp.asarray(y_pred)
+
+        if self.input_type in ['prob', 'one_hot']:
+            if self.normalize:
+                def _safe_norm(y):
+                    s = jnp.sum(y, axis=-1, keepdims=True)
+                    return jnp.where(s == 0, 0., y / jnp.where(s == 0, 1., s))
+                y_true = _safe_norm(y_true)
+                y_pred = _safe_norm(y_pred)
+
+            if self.check_input_limits:
+                _check_limits(y_true, 'y_true')
+                _check_limits(y_pred, 'y_pred')
+
+        if self.dice_type == 'hard':
+            nb_labels = self.nb_labels
+            if self.input_type == 'prob':
+                if nb_labels is None:
+                    nb_labels = y_pred.shape[-1]
+                y_pred = jnp.argmax(y_pred, axis=-1)
+                y_true = jnp.argmax(y_true, axis=-1)
+            y_pred = jax.nn.one_hot(y_pred, nb_labels)
+            y_true = jax.nn.one_hot(y_true, nb_labels)
+
+        y_true = core.batch_channel_flatten(y_true)
+        y_pred = core.batch_channel_flatten(y_pred)
+
+        top = 2 * jnp.sum(y_true * y_pred, 1)
+        bottom = jnp.sum(jnp.square(y_true), 1) + jnp.sum(jnp.square(y_pred), 1)
+        if self.laplace_smoothing > 0:
+            eps = self.laplace_smoothing
+            return (top + eps) / (bottom + eps)
+        return jnp.where(bottom == 0, 0.,
+                         top / jnp.where(bottom == 0, 1., bottom))
+
+    def mean_dice(self, y_true, y_pred):
+        """Mean (optionally weighted) Dice across batch and labels -> scalar."""
+        dice_metric = self.dice(y_true, y_pred)
+        if self.weights is not None:
+            assert self.weights.ndim == 2, \
+                'weights should be a matrix broadcastable to [batch_size, nb_labels]'
+            dice_metric = dice_metric * self.weights
+        return jnp.mean(dice_metric)
+
+    def loss(self, y_true, y_pred):
+        """Deprecated: use ne.losses.Dice(...).loss."""
+        warnings.warn('ne.metrics.*.loss functions are deprecated. '
+                      'Please use the ne.losses.*.loss functions.')
+        return -self.mean_dice(y_true, y_pred)
+
+
+class SoftDice(Dice):
+    """Soft-Dice preset (ref `metrics.py:522-570`)."""
+
+    def __init__(self, weights=None, check_input_limits=True,
+                 laplace_smoothing=0., normalize=False):
+        super().__init__(dice_type='soft', input_type='prob', weights=weights,
+                         check_input_limits=check_input_limits,
+                         laplace_smoothing=laplace_smoothing,
+                         normalize=normalize)
+
+
+class HardDice(Dice):
+    """Hard-Dice preset (ref `metrics.py:573-616`)."""
+
+    def __init__(self, nb_labels, input_type='max_label', weights=None,
+                 check_input_limits=True, laplace_smoothing=0.,
+                 normalize=False):
+        super().__init__(dice_type='hard', input_type=input_type,
+                         nb_labels=nb_labels, weights=weights,
+                         check_input_limits=check_input_limits,
+                         laplace_smoothing=laplace_smoothing,
+                         normalize=normalize)
+
+
+class CategoricalCrossentropy:
+    """
+    Categorical cross-entropy with per-label weights premultiplied into y_true.
+
+    Parity: reference `neurite/tf/metrics.py:619-650` (keras CCE semantics:
+    renormalize probs unless from_logits, clip to [eps, 1-eps], reduce the
+    label axis, mean over the rest). XLA fuses softmax+CCE into one kernel.
+    """
+
+    def __init__(self, label_weights=None, from_logits=False, **kwargs):
+        self.label_weights = None
+        if label_weights is not None:
+            self.label_weights = jnp.asarray(label_weights)
+        self.from_logits = from_logits
+
+    def __call__(self, y_true, y_pred, sample_weight=None):
+        return self.cce(y_true, y_pred, sample_weight=sample_weight)
+
+    def cce(self, y_true, y_pred, sample_weight=None):
+        if self.label_weights is not None:
+            yf = y_pred.shape[-1]
+            lf = self.label_weights.shape[-1]
+            if yf != lf:
+                raise ValueError(f'Label weights must be of len {yf}, but got {lf}.')
+            y_true = self.label_weights.astype(y_true.dtype) * y_true
+
+        if self.from_logits:
+            logp = jax.nn.log_softmax(y_pred, axis=-1)
+        else:
+            s = jnp.sum(y_pred, axis=-1, keepdims=True)
+            y_pred = y_pred / jnp.where(s == 0, 1., s)
+            y_pred = jnp.clip(y_pred, EPSILON, 1.0)
+            logp = jnp.log(y_pred)
+
+        per_elem = -jnp.sum(y_true * logp, axis=-1)
+        if sample_weight is not None:
+            per_elem = per_elem * sample_weight
+        return jnp.mean(per_elem)
+
+
+class MeanSquaredErrorProb:
+    """
+    MSE over probability maps with optional per-label weights.
+
+    Parity: reference `neurite/tf/metrics.py:653-692` (keras MSE with
+    label_weights via the sample-weight trick == mean of w_l * (x-y)^2).
+    """
+
+    def __init__(self, label_weights=None, **kwargs):
+        self.label_weights = None
+        if label_weights is not None:
+            self.label_weights = jnp.asarray(label_weights)
+
+    def __call__(self, y_true, y_pred, sample_weight=None):
+        return self.mse(y_true, y_pred, sample_weight=sample_weight)
+
+    def mse(self, y_true, y_pred, sample_weight=None):
+        sq = jnp.square(jnp.asarray(y_true) - jnp.asarray(y_pred))
+        if self.label_weights is not None:
+            yf = y_pred.shape[-1]
+            lf = self.label_weights.shape[0]
+            if yf != lf:
+                raise ValueError(f'Label weights must be of len {yf}, but got {lf}.')
+            sq = sq * self.label_weights
+        if sample_weight is not None:
+            sq = sq * sample_weight
+        return jnp.mean(sq)
+
+
+def l1(y_true, y_pred):
+    """Mean absolute error (ref `metrics.py:33`)."""
+    return jnp.mean(jnp.abs(jnp.asarray(y_true) - jnp.asarray(y_pred)))
+
+
+def l2(y_true, y_pred):
+    """Mean squared error (ref `metrics.py:34`)."""
+    return jnp.mean(jnp.square(jnp.asarray(y_true) - jnp.asarray(y_pred)))
+
+
+def multiple_metrics_decorator(metrics, weights=None):
+    """Weighted sum of metrics (ref `metrics.py:699-718`)."""
+    if weights is None:
+        weights = np.ones(len(metrics))
+
+    def metric(y_true, y_pred):
+        total_val = 0
+        for idx, met in enumerate(metrics):
+            total_val += weights[idx] * met(y_true, y_pred)
+        return total_val
+
+    return metric

@@ -1,0 +1,145 @@
+"""
+Training loop support: train state, jitted train/eval steps, and a `fit` driver
+with hooks.
+
+The reference delegates training to `keras.Model.fit` (SURVEY.md §3.1); here the
+train loop is a first-class component: a pure jitted step (grads + optimizer
+update, optional mutable batch_stats) driven by a host loop that invokes
+callback hooks (see `neurite_tpu.callbacks`). Distributed training wraps the
+same step with pjit shardings (see `neurite_tpu.parallel`).
+"""
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    """Step counter + params + optimizer state + mutable model variables."""
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+    variables: Any = FrozenDict()  # batch_stats / stream-layer collections
+
+    @classmethod
+    def create(cls, apply_fn, params, tx, variables=None):
+        return cls(step=jnp.asarray(0), params=params,
+                   opt_state=tx.init(params), tx=tx, apply_fn=apply_fn,
+                   variables=variables if variables is not None
+                   else FrozenDict())
+
+
+def create_train_state(model, rng, sample_input, tx, training_kwargs=None):
+    """Initialize a model and wrap everything in a TrainState."""
+    kwargs = training_kwargs or {}
+    variables = model.init(rng, sample_input, **kwargs)
+    params = variables['params']
+    rest = {k: v for k, v in variables.items() if k != 'params'}
+    return TrainState.create(model.apply, params, tx, FrozenDict(rest))
+
+
+def make_train_step(loss_fn, has_aux_vars=False, rng_names=('dropout',),
+                    axis_name=None):
+    """
+    Build a jitted train step.
+
+    loss_fn(apply_out, batch) -> scalar loss, where apply_out is the model
+    output for batch['x'] (or batch[0]).
+
+    If `axis_name` is given the gradients are `lax.pmean`-ed over that mesh
+    axis — the data-parallel form used under shard_map/pjit.
+    """
+
+    def step(state: TrainState, batch, rng):
+        x, y = batch if isinstance(batch, (tuple, list)) else (batch['x'], batch['y'])
+        rngs = {name: key for name, key in
+                zip(rng_names, jax.random.split(rng, len(rng_names)))}
+
+        def compute_loss(params):
+            variables = {'params': params, **state.variables}
+            if has_aux_vars:
+                out, new_vars = state.apply_fn(
+                    variables, x, training=True, rngs=rngs,
+                    mutable=list(state.variables.keys()))
+                return loss_fn(y, out), new_vars
+            out = state.apply_fn(variables, x, training=True, rngs=rngs)
+            return loss_fn(y, out), state.variables
+
+        (loss, new_vars), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state,
+                                  variables=FrozenDict(new_vars))
+        metrics = {'loss': loss}
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(metric_fns):
+    """Build a jitted eval step computing a dict of metrics."""
+
+    def step(state: TrainState, batch):
+        x, y = batch if isinstance(batch, (tuple, list)) else (batch['x'], batch['y'])
+        variables = {'params': state.params, **state.variables}
+        out = state.apply_fn(variables, x, training=False)
+        return {name: fn(y, out) for name, fn in metric_fns.items()}
+
+    return step
+
+
+def fit(state, train_step, data_iter, nb_steps, rng, callbacks=(),
+        log_every=0, jit=True):
+    """
+    Host-side fit driver: pulls batches, invokes the (jitted) step, and runs
+    callback hooks — the functional counterpart of keras `fit` + the
+    reference's callbacks (`neurite/tf/callbacks.py`).
+
+    Callbacks implement any of: on_train_begin(state), on_batch_end(step,
+    state, metrics/logs), on_train_end(state). Hook exceptions propagate
+    (NaN-check callbacks use this to halt training).
+    """
+    step_fn = jax.jit(train_step) if jit else train_step
+
+    for cb in callbacks:
+        if hasattr(cb, 'on_train_begin'):
+            cb.on_train_begin(state)
+
+    history = []
+    t0 = time.time()
+    for i in range(nb_steps):
+        rng, step_rng = jax.random.split(rng)
+        batch = next(data_iter)
+        state, metrics = step_fn(state, batch, step_rng)
+
+        if callbacks or log_every:
+            metrics_host = {k: float(v) for k, v in metrics.items()}
+            metrics_host['time'] = time.time() - t0
+            history.append(metrics_host)
+            for cb in callbacks:
+                if hasattr(cb, 'on_batch_end'):
+                    cb.on_batch_end(i, state=state, logs=metrics_host)
+            if log_every and (i % log_every == 0):
+                print(f'step {i}: ' + ', '.join(
+                    f'{k}={v:.5g}' for k, v in metrics_host.items()))
+
+    for cb in callbacks:
+        if hasattr(cb, 'on_train_end'):
+            cb.on_train_end(state)
+
+    return state, history
