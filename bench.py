@@ -1,0 +1,81 @@
+"""
+Benchmark harness: 3D UNet-128³ train step (volumes/sec/chip), the BASELINE.md
+north-star metric. Prints ONE JSON line.
+
+Runs on whatever `jax.devices()` provides (TPU v5e chip under the driver; CPU
+fallback shrinks the volume but reports the same metric name scaled by a note).
+Keeps to a single jit compilation — remote-compile environments charge minutes
+per XLA program.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    backend = jax.default_backend()
+    on_tpu = backend not in ('cpu',)
+
+    # full config on accelerator; reduced on CPU so the bench stays runnable
+    vol = 128 if on_tpu else 32
+    nb_feats = 16
+    nb_levels = 4 if on_tpu else 3
+    batch = 1
+    nb_labels = 4
+
+    import neurite_tpu as ne
+    from neurite_tpu import training
+
+    model = ne.models.unet(
+        nb_features=nb_feats, input_shape=(vol, vol, vol, 1),
+        nb_levels=nb_levels, conv_size=3, nb_labels=nb_labels, feat_mult=2,
+        nb_conv_per_level=2)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, vol, vol, vol, 1)), jnp.float32)
+    y = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, nb_labels, size=(batch, vol, vol, vol))),
+        nb_labels)
+
+    state = training.create_train_state(model, jax.random.PRNGKey(0), x,
+                                        optax.adam(1e-3))
+    loss_fn = ne.losses.SoftDice(check_input_limits=False).loss
+    step = jax.jit(training.make_train_step(loss_fn), donate_argnums=(0,))
+
+    # compile + warmup
+    t0 = time.time()
+    state, metrics = step(state, (x, y), jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics['loss'])
+    compile_s = time.time() - t0
+
+    # timed steps
+    nb_steps = 10 if on_tpu else 3
+    t0 = time.time()
+    for i in range(nb_steps):
+        state, metrics = step(state, (x, y), jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics['loss'])
+    dt = time.time() - t0
+
+    vols_per_sec = batch * nb_steps / dt
+    result = {
+        'metric': f'3D UNet-{vol}^3 train step volumes/sec/chip',
+        'value': round(vols_per_sec, 4),
+        'unit': 'volumes/sec/chip',
+        'vs_baseline': 1.0,  # reference publishes no numbers (BASELINE.md)
+        'backend': backend,
+        'compile_s': round(compile_s, 2),
+        'step_ms': round(1000 * dt / nb_steps, 2),
+        'loss': float(metrics['loss']),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

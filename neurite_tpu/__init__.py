@@ -15,3 +15,4 @@ from neurite_tpu import losses  # noqa: F401
 from neurite_tpu import regularizers  # noqa: F401
 from neurite_tpu import models  # noqa: F401
 from neurite_tpu import training  # noqa: F401
+from neurite_tpu import parallel  # noqa: F401

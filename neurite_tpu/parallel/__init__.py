@@ -1,0 +1,7 @@
+"""
+ne.parallel — mesh/sharding policy and distributed training support.
+"""
+from neurite_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS, SPACE_AXIS, create_mesh, batch_sharding, replicated,
+    shard_batch, make_sharded_train_step,
+)

@@ -1,0 +1,103 @@
+"""
+Device mesh / sharding policy — the distributed-communication component.
+
+The reference has only a deprecated keras multi-GPU wrapper
+(`neurite/tf/utils/model.py:298-321`); here distribution is first-class and
+TPU-native (SURVEY.md §5.8): a `jax.sharding.Mesh` with a `data` axis (DP:
+gradient psum over ICI) and a `space` axis (spatial sharding of volume dims —
+the 3-D counterpart of sequence/context parallelism, SURVEY.md §5.7). We
+annotate shardings and let XLA's SPMD partitioner insert the collectives
+(all-reduce for grads, halo exchange for spatially-sharded convs) — no
+hand-written transport.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+SPACE_AXIS = 'space'
+
+
+def create_mesh(data: Optional[int] = None, space: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """
+    Build a 2-axis ('data', 'space') mesh. `data=None` uses all remaining
+    devices. On multi-slice topologies callers should order devices so `space`
+    (the halo-exchange axis) maps to ICI neighbors and `data` spans DCN.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % space == 0, f'{n} devices not divisible by space={space}'
+        data = n // space
+    assert data * space <= n, f'mesh {data}x{space} exceeds {n} devices'
+    dev_array = np.asarray(devices[:data * space]).reshape(data, space)
+    return Mesh(dev_array, (DATA_AXIS, SPACE_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, space_axis: Optional[int] = 1):
+    """
+    NamedSharding for a [B, *spatial, C] batch: batch over 'data' and
+    (optionally) one spatial dim over 'space'.
+
+    `space_axis` is the array axis sharded over the mesh 'space' axis
+    (default: first spatial axis). None disables spatial sharding.
+    """
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if space_axis is not None and mesh.shape[SPACE_AXIS] > 1:
+        spec[space_axis] = SPACE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh):
+    """Fully-replicated sharding (params, small tensors)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, space_axis: Optional[int] = 1):
+    """Place a host batch (tuple/dict/array pytree) onto the mesh."""
+
+    def _place(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim, space_axis))
+
+    return jax.tree_util.tree_map(_place, batch)
+
+
+def make_sharded_train_step(train_step, mesh: Mesh,
+                            space_axis: Optional[int] = 1,
+                            donate_state: bool = True):
+    """
+    Wrap a `neurite_tpu.training` step in jit with mesh shardings:
+    replicated state, batch sharded over ('data', 'space'). XLA SPMD inserts
+    the gradient all-reduce and conv halo exchanges automatically — the
+    TPU-native replacement for the reference's multi_gpu_model.
+
+    The step itself needs no pmean: with replicated-state output shardings,
+    XLA reduces the (replicated) gradient update across the mesh.
+    """
+    rep = replicated(mesh)
+
+    def place_batch_shardings(batch_tree):
+        return jax.tree_util.tree_map(
+            lambda x: batch_sharding(mesh, x.ndim, space_axis), batch_tree)
+
+    def wrapped(state, batch, rng):
+        return train_step(state, batch, rng)
+
+    def run(state, batch, rng):
+        state_shardings = jax.tree_util.tree_map(lambda _: rep, state)
+        batch_shardings = place_batch_shardings(batch)
+        jitted = jax.jit(
+            wrapped,
+            in_shardings=(state_shardings, batch_shardings, rep),
+            donate_argnums=(0,) if donate_state else ())
+        return jitted(state, batch, rng)
+
+    return run

@@ -1,0 +1,90 @@
+"""
+Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 item 5): pjit DP+spatial train step correctness vs single-device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import neurite_tpu as ne
+from neurite_tpu import training
+from neurite_tpu.parallel import create_mesh, make_sharded_train_step, shard_batch
+
+
+@pytest.fixture(scope='module')
+def setup():
+    model = ne.models.unet(nb_features=4, input_shape=(16, 16, 16, 1),
+                           nb_levels=2, conv_size=3, nb_labels=2,
+                           nb_conv_per_level=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 16, 1)).astype(np.float32))
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 2, size=(8, 16, 16, 16))), 2)
+    state = training.create_train_state(model, jax.random.PRNGKey(0), x,
+                                        optax.sgd(1e-2))
+    loss_fn = ne.losses.SoftDice(check_input_limits=False).loss
+    step = training.make_train_step(loss_fn)
+    return state, step, (x, y)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_matches_single_device(setup):
+    state, step, batch = setup
+    # single device
+    s1, m1 = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+    # data parallel over 8
+    mesh = create_mesh(data=8, space=1)
+    sharded_step = make_sharded_train_step(step, mesh, space_axis=None,
+                                           donate_state=False)
+    s8, m8 = sharded_step(state, shard_batch(batch, mesh, space_axis=None),
+                          jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']),
+                               rtol=1e-5)
+    # params after update must match
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_dp_plus_spatial_matches(setup):
+    state, step, batch = setup
+    s1, m1 = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+    # 4-way data x 2-way spatial sharding: XLA inserts conv halo exchange
+    mesh = create_mesh(data=4, space=2)
+    sharded_step = make_sharded_train_step(step, mesh, space_axis=1,
+                                           donate_state=False)
+    s8, m8 = sharded_step(state, shard_batch(batch, mesh, space_axis=1),
+                          jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']),
+                               rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_spatially_sharded_interpn():
+    """interpn under spatial sharding (resize use case) stays correct."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = create_mesh(data=1, space=8)
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(32, 16, 2)).astype(np.float32))
+
+    def f(v):
+        return ne.utils.resize(v, [2, 2])
+
+    want = f(vol)
+    vs = jax.device_put(vol, NamedSharding(mesh, P('space', None, None)))
+    got = jax.jit(f)(vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
