@@ -49,21 +49,29 @@ def main():
     loss_fn = ne.losses.SoftDice(check_input_limits=False).loss
     step = jax.jit(training.make_train_step(loss_fn), donate_argnums=(0,))
 
-    # compile + warmup
+    # compile + warmup (float() forces a real fetch — block_until_ready is
+    # unreliable on tunneled PJRT backends)
     t0 = time.time()
     state, metrics = step(state, (x, y), jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics['loss'])
+    loss0 = float(metrics['loss'])
     compile_s = time.time() - t0
 
-    # timed steps
-    nb_steps = 10 if on_tpu else 3
-    t0 = time.time()
-    for i in range(nb_steps):
-        state, metrics = step(state, (x, y), jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(metrics['loss'])
-    dt = time.time() - t0
+    # two-point fit: T(n) = overhead + n*step, so step = (T(n2)-T(n1))/(n2-n1)
+    def run(n, state, base_key):
+        t0 = time.time()
+        for i in range(n):
+            state, metrics = step(state, (x, y), jax.random.PRNGKey(base_key + i))
+        _ = float(metrics['loss'])  # single fetch forces the whole chain
+        return time.time() - t0, state
 
-    vols_per_sec = batch * nb_steps / dt
+    n1, n2 = (5, 25) if on_tpu else (1, 4)
+    t1, state = run(n1, state, 100)
+    t2, state = run(n2, state, 200)
+    step_s = (t2 - t1) / (n2 - n1)
+    metrics = {'loss': jnp.asarray(loss0)}
+
+    vols_per_sec = batch / step_s
+    dt, nb_steps = step_s, 1
     result = {
         'metric': f'3D UNet-{vol}^3 train step volumes/sec/chip',
         'value': round(vols_per_sec, 4),

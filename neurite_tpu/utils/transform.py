@@ -1,0 +1,296 @@
+"""
+Spatial-transform ops: dense warps, affine fields, vector-field integration.
+
+The reference *imports* these capabilities from voxelmorph
+(`neurite/tf/models.py:760,1058`: SpatialTransformer, VecInt, RescaleTransform,
+ComposeTransform, DrawAffineParams, ParamsToAffineMatrix, AffineToDenseShift);
+they are required for the synthesis configs (SURVEY.md §2.4, BASELINE config
+#5), so this module implements them natively, TPU-first: everything is pure
+jnp built on `core.interpn`, jit/vmap-composable with static shapes.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurite_tpu.utils import core
+
+__all__ = [
+    'transform', 'batch_transform', 'affine_to_dense_shift', 'integrate_vec',
+    'compose_transforms', 'rescale_transform', 'rescale_dense_transform',
+    'params_to_affine_matrix', 'draw_affine_params', 'angles_to_rotation_matrix',
+    'is_affine_shape', 'make_square_affine',
+]
+
+
+def transform(vol, loc_shift, interp_method='linear', fill_value=None,
+              shift_center=True):
+    """
+    Warp a single (unbatched) volume by a dense displacement field:
+    out(x) = vol(x + shift(x)).
+
+    vol: [*vol_shape] or [*vol_shape, C]; loc_shift: [*out_shape, N].
+
+    Equivalent of voxelmorph's `transform` used (but never imported) by the
+    reference (`neurite/tf/layers.py:1697`).
+    """
+    loc_shift = jnp.asarray(loc_shift)
+    nb_dims = loc_shift.shape[-1]
+    out_shape = loc_shift.shape[:-1]
+    mesh = core.volshape_to_ndgrid(out_shape, dtype=jnp.int32)
+    grid = jnp.stack([m.astype(loc_shift.dtype) for m in mesh], -1)
+    loc = grid + loc_shift
+    return core.interpn(vol, loc, interp_method=interp_method,
+                        fill_value=fill_value)
+
+
+def batch_transform(vol, loc_shift, **kwargs):
+    """vmap of `transform` over a leading batch axis of both args."""
+    return jax.vmap(lambda v, s: transform(v, s, **kwargs))(vol, loc_shift)
+
+
+def is_affine_shape(shape):
+    """True for (N, N+1) or (N+1, N+1) matrix shapes with 1<=N<=3."""
+    if len(shape) == 2:
+        rows, cols = shape
+        return cols in (rows, rows + 1) and 2 <= cols <= 4
+    return False
+
+
+def make_square_affine(mat):
+    """Append the [0...0 1] row to an (N, N+1) affine matrix."""
+    mat = jnp.asarray(mat)
+    if mat.shape[-2] == mat.shape[-1]:
+        return mat
+    bottom = jnp.zeros((*mat.shape[:-2], 1, mat.shape[-1]), mat.dtype)
+    bottom = bottom.at[..., -1].set(1.0)
+    return jnp.concatenate([mat, bottom], axis=-2)
+
+
+def affine_to_dense_shift(matrix, shape, shift_center=True, warp_right=None):
+    """
+    Convert an (N,N+1) or (N+1,N+1) affine to a dense displacement field
+    [*shape, N]: shift(x) = A x - x (with optional center-shifted coordinates,
+    optionally composed on the right with an existing warp).
+
+    Equivalent of voxelmorph AffineToDenseShift (ref `models.py:1131`).
+    """
+    matrix = jnp.asarray(matrix, jnp.float32)
+    ndims = len(shape)
+    if matrix.shape[-1] != ndims + 1:
+        raise ValueError(f'affine matrix must be of shape (N, {ndims + 1}), '
+                         f'got {matrix.shape}')
+    matrix = make_square_affine(matrix)
+
+    mesh = core.volshape_to_ndgrid(shape, dtype=jnp.int32)
+    mesh = [m.astype(jnp.float32) for m in mesh]
+    if shift_center:
+        mesh = [mesh[d] - (shape[d] - 1) / 2 for d in range(ndims)]
+
+    grid = jnp.stack([core.flatten(m) for m in mesh], axis=0)  # N x V
+
+    if warp_right is not None:
+        warp_right = jnp.asarray(warp_right, jnp.float32)
+        wr = jnp.reshape(warp_right, (-1, ndims)).T  # N x V
+        grid_in = grid + wr
+    else:
+        grid_in = grid
+
+    ones = jnp.ones((1, grid.shape[1]), jnp.float32)
+    homog = jnp.concatenate([grid_in, ones], axis=0)  # (N+1) x V
+    moved = (matrix @ homog)[:ndims]  # N x V
+
+    shift = (moved - grid).T.reshape(*shape, ndims)
+    return shift
+
+
+def integrate_vec(vec, nb_steps=7):
+    """
+    Integrate a stationary velocity field via scaling and squaring:
+    phi = exp(vec) approximated with `nb_steps` squarings.
+
+    Equivalent of voxelmorph VecInt (ref `models.py:1149`). The loop is a
+    static unroll of `nb_steps` warp compositions — each is one fused
+    interpn pass on TPU.
+    """
+    vec = vec / (2.0 ** nb_steps)
+    for _ in range(nb_steps):
+        vec = vec + transform(vec, vec)
+    return vec
+
+
+def rescale_dense_transform(field, factor, interp_method='linear'):
+    """
+    Rescale a dense transform: resize the grid AND scale the vectors by
+    `factor` (voxelmorph RescaleTransform semantics, ref `models.py:1152`).
+    """
+    field = jnp.asarray(field)
+    ndims = field.shape[-1]
+    if factor == 1:
+        return field
+    resized = core.resize(field, [factor] * ndims,
+                          interp_method=interp_method)
+    return resized * factor
+
+
+def rescale_transform(trf, factor, interp_method='linear'):
+    """Rescale an affine (zoom the translation part) or dense transform."""
+    trf = jnp.asarray(trf)
+    if is_affine_shape(trf.shape):
+        mat = make_square_affine(trf)
+        scale = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+        # A' = S A S^-1 with S = diag(factor,...,1): scales translations
+        s = jnp.asarray([factor] * (mat.shape[-1] - 1) + [1.0], mat.dtype)
+        mat = mat * (s[:, None] / s[None, :])
+        return mat
+    return rescale_dense_transform(trf, factor, interp_method=interp_method)
+
+
+def compose_transforms(transforms, shape=None, shift_center=True):
+    """
+    Compose a list of transforms (affine matrices and/or dense shift fields)
+    into ONE dense shift field over `shape`. Transforms are applied to input
+    coordinates right-to-left (last transform acts first), matching voxelmorph
+    ComposeTransform (ref `models.py:1154`).
+    """
+    assert len(transforms) > 0
+    if shape is None:
+        for t in transforms:
+            t = jnp.asarray(t)
+            if not is_affine_shape(t.shape):
+                shape = t.shape[:-1]
+                break
+    assert shape is not None, 'need a dense transform or explicit shape'
+    ndims = len(shape)
+
+    def as_dense(t):
+        t = jnp.asarray(t)
+        if is_affine_shape(t.shape):
+            return affine_to_dense_shift(t, shape, shift_center=shift_center)
+        return t
+
+    cur = as_dense(transforms[-1])
+    for t in transforms[-2::-1]:
+        t = jnp.asarray(t)
+        if is_affine_shape(t.shape):
+            # dense(x) for A∘phi: A(x + phi(x)) - x
+            cur = affine_to_dense_shift(t, shape, shift_center=shift_center,
+                                        warp_right=cur)
+        else:
+            # t ∘ cur: x + cur(x) + t(x + cur(x))
+            cur = cur + transform(t, cur)
+    return cur
+
+
+def angles_to_rotation_matrix(angles, ndims=3, deg=True):
+    """N-D rotation matrix from 1 (2D) or 3 (3D) angles."""
+    angles = jnp.atleast_1d(jnp.asarray(angles, jnp.float32))
+    if deg:
+        angles = angles * (np.pi / 180.0)
+    if ndims == 2:
+        c, s = jnp.cos(angles[0]), jnp.sin(angles[0])
+        return jnp.asarray([[c, -s], [s, c]])
+    assert ndims == 3
+    rx, ry, rz = angles[0], angles[1], angles[2]
+    cx, sx = jnp.cos(rx), jnp.sin(rx)
+    cy, sy = jnp.cos(ry), jnp.sin(ry)
+    cz, sz = jnp.cos(rz), jnp.sin(rz)
+    mx = jnp.asarray([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    my = jnp.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    mz = jnp.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return mx @ my @ mz
+
+
+def params_to_affine_matrix(par=None, rotation=None, translation=None,
+                            scaling=None, shear=None, ndims=3, deg=True,
+                            shift_scale=False, last_row=False):
+    """
+    Build an (N, N+1) affine matrix from rotation/translation/scale/shear
+    parameters: T @ R @ SHEAR @ SCALE (voxelmorph ParamsToAffineMatrix
+    semantics, ref `models.py:1103`).
+
+    `par` optionally packs [translation, rotation, scaling, shear] in that
+    order (as the voxelmorph layer produces).
+    """
+    assert ndims in (2, 3)
+    n_rot = 1 if ndims == 2 else 3
+    n_shear = 1 if ndims == 2 else 3
+
+    if par is not None:
+        par = jnp.ravel(jnp.asarray(par, jnp.float32))
+        idx = 0
+        translation = par[idx:idx + ndims]; idx += ndims
+        rotation = par[idx:idx + n_rot]; idx += n_rot
+        scaling = par[idx:idx + ndims]; idx += ndims
+        shear = par[idx:idx + n_shear]
+
+    def _conform(v, n, default):
+        if v is None:
+            return jnp.full((n,), default, jnp.float32)
+        v = jnp.ravel(jnp.asarray(v, jnp.float32))
+        assert v.shape[0] in (1, n)
+        return jnp.broadcast_to(v, (n,)) if v.shape[0] == 1 else v
+
+    rotation = _conform(rotation, n_rot, 0.0)
+    translation = _conform(translation, ndims, 0.0)
+    scaling = _conform(scaling, ndims, 1.0)
+    shear = _conform(shear, n_shear, 0.0)
+
+    if shift_scale:
+        scaling = scaling + 1.0
+
+    rot = angles_to_rotation_matrix(rotation, ndims=ndims, deg=deg)
+    scale_mat = jnp.diag(scaling)
+    shear_mat = jnp.eye(ndims)
+    if ndims == 2:
+        shear_mat = shear_mat.at[0, 1].set(shear[0])
+    else:
+        shear_mat = shear_mat.at[0, 1].set(shear[0])
+        shear_mat = shear_mat.at[0, 2].set(shear[1])
+        shear_mat = shear_mat.at[1, 2].set(shear[2])
+
+    lin = rot @ shear_mat @ scale_mat
+    mat = jnp.concatenate([lin, translation[:, None]], axis=1)
+    if last_row:
+        mat = make_square_affine(mat)
+    return mat
+
+
+def draw_affine_params(key, shift=None, rot=None, scale=None, shear=None,
+                       normal_shift=False, normal_rot=False,
+                       normal_scale=False, normal_shear=False,
+                       shift_scale=False, ndims=3, concat=True):
+    """
+    Draw uniform (or truncated-normal) affine parameters. Bounds are
+    symmetric: a scalar b means [-b, b] (scale: [1-b, 1+b] unless
+    shift_scale).
+
+    Equivalent of voxelmorph DrawAffineParams (ref `models.py:1090`).
+    Returns (translation, rotation, scaling, shear) or their concatenation.
+    """
+    n_rot = 1 if ndims == 2 else 3
+    specs = [(shift, ndims, 0., normal_shift), (rot, n_rot, 0., normal_rot),
+             (scale, ndims, 1., normal_scale), (shear, n_rot, 0., normal_shear)]
+    keys = jax.random.split(key, 4)
+    out = []
+    for k, (bound, n, center, use_normal) in zip(keys, specs):
+        if bound is None:
+            val = jnp.full((n,), center, jnp.float32)
+        else:
+            b = jnp.broadcast_to(jnp.ravel(jnp.asarray(bound, jnp.float32)), (n,))
+            if use_normal:
+                # truncated normal in [-2, 2] scaled to bound/2 => 95% in bounds
+                val = center + jax.random.truncated_normal(
+                    k, -2., 2., (n,)) * (b / 2)
+            else:
+                val = center + jax.random.uniform(k, (n,), minval=-1.,
+                                                  maxval=1.) * b
+        out.append(val)
+    shift_v, rot_v, scale_v, shear_v = out
+    if shift_scale:
+        scale_v = scale_v - 1.0  # params_to_affine_matrix will re-add
+    if concat:
+        return jnp.concatenate([shift_v, rot_v, scale_v, shear_v])
+    return shift_v, rot_v, scale_v, shear_v
