@@ -13,6 +13,7 @@ from neurite_tpu import utils  # noqa: F401
 from neurite_tpu import metrics  # noqa: F401
 from neurite_tpu import losses  # noqa: F401
 from neurite_tpu import regularizers  # noqa: F401
+from neurite_tpu import layers  # noqa: F401
 from neurite_tpu import models  # noqa: F401
 from neurite_tpu import training  # noqa: F401
 from neurite_tpu import parallel  # noqa: F401

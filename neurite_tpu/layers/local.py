@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neurite_tpu.utils import transform as tf_ops
+from neurite_tpu.utils import spatial as tf_ops
 
 
 def _normal_init(stddev=0.05, mean=0.0):

@@ -8,3 +8,5 @@ from neurite_tpu.utils import augment  # noqa: F401
 from neurite_tpu.utils.augment import (  # noqa: F401
     draw_perlin, random_blur_rescale, draw_perlin_full, draw_crop_mask,
 )
+from neurite_tpu.utils import spatial  # noqa: F401
+from neurite_tpu.utils.spatial import *  # noqa: F401,F403  (exports `transform` fn)
