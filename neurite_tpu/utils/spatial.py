@@ -21,7 +21,8 @@ __all__ = [
     'transform', 'batch_transform', 'affine_to_dense_shift', 'integrate_vec',
     'compose_transforms', 'rescale_transform', 'rescale_dense_transform',
     'params_to_affine_matrix', 'draw_affine_params', 'angles_to_rotation_matrix',
-    'is_affine_shape', 'make_square_affine',
+    'is_affine_shape', 'make_square_affine', 'draw_flip_matrix',
+    'draw_swap_matrix',
 ]
 
 
@@ -294,3 +295,45 @@ def draw_affine_params(key, shift=None, rot=None, scale=None, shear=None,
     if concat:
         return jnp.concatenate([shift_v, rot_v, scale_v, shear_v])
     return shift_v, rot_v, scale_v, shear_v
+
+
+def draw_flip_matrix(key, shape, shift_center=False, ndims=None):
+    """
+    Random axis-flip homogeneous matrix in index coordinates: each axis is
+    flipped with p=0.5. With shift_center=False the matrix maps x -> (S-1)-x
+    on flipped axes (valid for [0, S-1] index grids); with shift_center=True
+    coordinates are assumed centered and the translation is omitted.
+
+    Equivalent of voxelmorph draw_flip_matrix (ref `models.py:1120-1123`).
+    """
+    shape = np.asarray(shape)
+    if ndims is None:
+        ndims = len(shape)
+    flips = jax.random.bernoulli(key, 0.5, (ndims,))
+    diag = jnp.where(flips, -1.0, 1.0)
+    mat = jnp.zeros((ndims + 1, ndims + 1))
+    mat = mat.at[jnp.arange(ndims), jnp.arange(ndims)].set(diag)
+    mat = mat.at[ndims, ndims].set(1.0)
+    if not shift_center:
+        trans = jnp.where(flips, (shape - 1).astype(jnp.float32), 0.0)
+        mat = mat.at[:ndims, ndims].set(trans)
+    return mat
+
+
+def draw_swap_matrix(key, ndims):
+    """
+    Random axis-permutation homogeneous matrix (voxelmorph draw_swap_matrix,
+    ref `models.py:1125-1128`). Selects one of the ndims! permutations.
+    """
+    import itertools as _it
+    perms = list(_it.permutations(range(ndims)))
+    mats = []
+    for p in perms:
+        m = np.zeros((ndims + 1, ndims + 1), np.float32)
+        for i, j in enumerate(p):
+            m[i, j] = 1.0
+        m[ndims, ndims] = 1.0
+        mats.append(m)
+    mats = jnp.asarray(np.stack(mats))
+    idx = jax.random.randint(key, (), 0, len(perms))
+    return mats[idx]

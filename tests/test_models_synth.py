@@ -1,0 +1,237 @@
+"""
+Tests for AE/classifier builders and the synthesis pipelines
+(SURVEY.md §4 item 4: golden reproducibility with fixed PRNG keys).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neurite_tpu as ne
+
+K0 = jax.random.PRNGKey(0)
+K1 = jax.random.PRNGKey(1)
+
+
+def _labels(batch=2, size=16, nb=4, ndims=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(0, nb, size=(batch, *(size,) * ndims, 1)), jnp.int32)
+
+
+class TestAE:
+    def test_conv_ae_shapes(self):
+        model = ne.models.ae(nb_features=4, input_shape=(16, 16, 1),
+                             nb_levels=2, conv_size=3, nb_labels=2,
+                             enc_size=(4, 4, 3), ae_type='conv')
+        x = jnp.zeros((1, 16, 16, 1))
+        v = model.init(K0, x)
+        y = model.apply(v, x)
+        assert y.shape == (1, 16, 16, 2)
+
+    def test_dense_ae_shapes(self):
+        model = ne.models.ae(nb_features=4, input_shape=(16, 16, 1),
+                             nb_levels=2, conv_size=3, nb_labels=2,
+                             enc_size=(10,), ae_type='dense')
+        x = jnp.zeros((1, 16, 16, 1))
+        v = model.init(K0, x)
+        y = model.apply(v, x)
+        assert y.shape == (1, 16, 16, 2)
+
+    def test_vae_sows_mu_sigma(self):
+        model = ne.models.ae(nb_features=4, input_shape=(16, 16, 1),
+                             nb_levels=2, conv_size=3, nb_labels=2,
+                             enc_size=(8,), ae_type='dense', do_vae=True)
+        x = jnp.zeros((2, 16, 16, 1))
+        v = model.init({'params': K0, 'sample': K1}, x)
+        y, inter = model.apply(v, x, rngs={'sample': K1},
+                               mutable=['intermediates'])
+        mids = inter['intermediates']['mid']
+        assert 'ae_mu' in mids and 'ae_sigma' in mids and 'ae_sample' in mids
+        assert mids['ae_mu'][0].shape == (2, 8)
+
+    def test_ae_return_parts(self):
+        model = ne.models.ae(nb_features=4, input_shape=(16, 16, 1),
+                             nb_levels=2, conv_size=3, nb_labels=2,
+                             enc_size=(6,), ae_type='dense')
+        x = jnp.zeros((1, 16, 16, 1))
+        v = model.init(K0, x)
+        out, mid, enc = model.apply(v, x, return_parts=True)
+        assert enc.shape == (1, 8, 8, 4)
+        assert mid.shape == enc.shape
+        assert out.shape == (1, 16, 16, 2)
+
+    def test_single_ae_conv_resize(self):
+        model = ne.models.single_ae(enc_size=(4, 4, 3),
+                                    input_shape=(8, 8, 2), ae_type='conv',
+                                    conv_size=3, batch_norm=None)
+        x = jnp.zeros((1, 8, 8, 2))
+        v = model.init(K0, x)
+        y = model.apply(v, x)
+        assert y.shape == (1, 8, 8, 2)
+
+
+class TestClassifiers:
+    @pytest.mark.parametrize('final_layer,out_shape', [
+        ('dense-sigmoid', (2, 1)), ('dense-tanh', (2, 1)),
+        ('dense-softmax', (2, 3))])
+    def test_design_dnn(self, final_layer, out_shape):
+        model = ne.models.design_dnn(nb_features=4, input_shape=(16, 16),
+                                     nb_levels=2, conv_size=3, nb_labels=3,
+                                     final_layer=final_layer)
+        x = jnp.zeros((2, 16, 16, 1))
+        v = model.init(K0, x)
+        y = model.apply(v, x)
+        assert y.shape == out_shape
+
+    def test_encoder_net_classifier(self):
+        model = ne.models.EncoderNet(nb_features=4, input_shape=(16, 16, 1),
+                                     nb_levels=2, conv_size=3, nb_labels=3)
+        x = jnp.zeros((2, 16, 16, 1))
+        v = model.init(K0, x)
+        y = model.apply(v, x)
+        assert y.shape == (2, 3)
+        np.testing.assert_allclose(np.asarray(y).sum(-1), 1.0, rtol=1e-5)
+
+    def test_encoder_net_regression(self):
+        model = ne.models.EncoderNet(nb_features=4, input_shape=(16, 16, 1),
+                                     nb_levels=2, conv_size=3, nb_labels=0)
+        x = jnp.zeros((2, 16, 16, 1))
+        v = model.init(K0, x)
+        y = model.apply(v, x)
+        assert y.shape == (2, 1)
+
+    def test_dense_layer_net(self):
+        model = ne.models.DenseLayerNet(inshape=(10,), layer_sizes=[16, 8],
+                                        nb_labels=3)
+        x = jnp.zeros((4, 10))
+        v = model.init(K0, x)
+        y = model.apply(v, x)
+        assert y.shape == (4, 3)
+
+
+class TestLabelsToImageNew:
+    def _build(self, **kwargs):
+        return ne.models.labels_to_image_new(
+            labels_in=list(range(4)), in_shape=(16, 16),
+            warp_blur_min=(4, 4), warp_blur_max=(8, 8), **kwargs)
+
+    def test_shapes_and_range(self):
+        model = self._build()
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        out = model.apply(v, labels, rngs={'augment': K1})
+        assert out['image'].shape == (2, 16, 16, 1)
+        assert out['map'].shape == (2, 16, 16, 4)
+        img = np.asarray(out['image'])
+        assert img.min() >= -1e-5 and img.max() <= 1.2  # normalized + gamma
+
+    def test_reproducible_with_fixed_key(self):
+        model = self._build()
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        o1 = model.apply(v, labels, rngs={'augment': K1})
+        o2 = model.apply(v, labels, rngs={'augment': K1})
+        np.testing.assert_array_equal(np.asarray(o1['image']),
+                                      np.asarray(o2['image']))
+        o3 = model.apply(v, labels, rngs={'augment': jax.random.PRNGKey(9)})
+        assert not np.allclose(np.asarray(o1['image']),
+                               np.asarray(o3['image']))
+
+    def test_seed_pinning_synchronizes_components(self):
+        """Pinning 'warp' must make the velocity field identical across keys."""
+        model = self._build(return_vel=True, seeds={'warp': 42})
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        o1 = model.apply(v, labels, rngs={'augment': K1})
+        o2 = model.apply(v, labels, rngs={'augment': jax.random.PRNGKey(5)})
+        np.testing.assert_array_equal(np.asarray(o1['vel']),
+                                      np.asarray(o2['vel']))
+        assert not np.allclose(np.asarray(o1['image']),
+                               np.asarray(o2['image']))
+
+    def test_unknown_seed_raises(self):
+        model = self._build(seeds={'nope': 1})
+        labels = _labels()
+        with pytest.raises(AssertionError, match='unknown seeds'):
+            model.init({'params': K0, 'augment': K1}, labels)
+
+    def test_extra_returns(self):
+        model = self._build(return_vel=True, return_def=True, return_aff=True,
+                            return_mean=True, return_bias=True,
+                            aff_shift=2, aff_rotate=5)
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        out = model.apply(v, labels, rngs={'augment': K1})
+        assert out['aff'].shape == (2, 3, 3)
+        assert out['vel'].shape == (2, 8, 8, 2)
+        assert out['def'].shape == (2, 16, 16, 2)
+        assert out['mean'].shape == (2, 1, 4)
+        assert out['bias'].shape == (2, 16, 16, 1)
+
+    def test_labels_out_subset_one_hot(self):
+        model = self._build(labels_out={1: 1, 2: 2})
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        out = model.apply(v, labels, rngs={'augment': K1})
+        # only labels 1, 2 one-hot encoded
+        assert out['map'].shape[-1] == 2
+
+    def test_out_shape_crop(self):
+        model = self._build(out_shape=(8, 8))
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        out = model.apply(v, labels, rngs={'augment': K1})
+        assert out['image'].shape == (2, 8, 8, 1)
+        assert out['map'].shape == (2, 8, 8, 4)
+
+    def test_map_is_valid_one_hot(self):
+        model = self._build()
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        out = model.apply(v, labels, rngs={'augment': K1})
+        m = np.asarray(out['map'])
+        assert ((m == 0) | (m == 1)).all()
+
+    def test_jittable(self):
+        model = self._build()
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        f = jax.jit(lambda l, k: model.apply(v, l, rngs={'augment': k}))
+        out = f(labels, K1)
+        assert np.isfinite(np.asarray(out['image'])).all()
+
+
+class TestLabelsToImageV1:
+    def test_shapes(self):
+        model = ne.models.labels_to_image(
+            in_shape=(16, 16), in_label_list=list(range(4)))
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        out = model.apply(v, labels, rngs={'augment': K1})
+        assert out['image'].shape == (2, 16, 16, 1)
+        assert out['map'].shape == (2, 16, 16, 4)
+
+    def test_no_warp(self):
+        model = ne.models.labels_to_image(
+            in_shape=(16, 16), in_label_list=list(range(3)), warp_std=0)
+        labels = _labels(nb=3)
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        out = model.apply(v, labels, rngs={'augment': K1})
+        # labels unchanged when no warp: argmax(one_hot) == input labels
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(out['map'], -1)),
+            np.asarray(labels)[..., 0])
+
+
+class TestSynthStrip:
+    def test_forward(self):
+        model = ne.models.SynthStrip(
+            inshape=(16, 16), labels_in=list(range(4)), labels_out=[1],
+            nb_unet_features=4, nb_unet_levels=2)
+        labels = _labels()
+        v = model.init({'params': K0, 'augment': K1}, labels)
+        y = model.apply(v, labels, rngs={'augment': K1})
+        # concat(unet prob, synth labels)
+        assert y.shape == (2, 16, 16, 2)
