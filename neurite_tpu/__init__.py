@@ -17,3 +17,10 @@ from neurite_tpu import layers  # noqa: F401
 from neurite_tpu import models  # noqa: F401
 from neurite_tpu import training  # noqa: F401
 from neurite_tpu import parallel  # noqa: F401
+from neurite_tpu import io  # noqa: F401
+from neurite_tpu import generators  # noqa: F401
+from neurite_tpu import dataproc  # noqa: F401
+from neurite_tpu import data  # noqa: F401
+from neurite_tpu import callbacks  # noqa: F401
+from neurite_tpu import modelio  # noqa: F401
+from neurite_tpu.py import plot  # noqa: F401

@@ -1,0 +1,106 @@
+"""
+Patch extraction and quilt reassembly for N-D volumes (pystrum-free).
+
+The reference delegates to `pystrum.pynd.patchlib` (`patch_gen` in
+`neurite/tf/generators.py:297`, `quilt` in `neurite/tf/utils/seg.py:363-374`);
+pystrum is unavailable here, so the tiling is implemented natively. This is
+the host-level spatial decomposition used for whole-volume patch inference
+(SURVEY.md §5.7) — the orthogonal complement to on-device mesh sharding.
+"""
+
+import itertools
+
+import numpy as np
+
+
+def _conform(v, ndims, name):
+    if np.isscalar(v):
+        return (int(v),) * ndims
+    v = tuple(int(x) for x in v)
+    assert len(v) == ndims, f'{name} length {len(v)} != ndims {ndims}'
+    return v
+
+
+def patch_starts(vol_shape, patch_size, stride=None):
+    """Per-axis start indices of a covering patch grid (last patch clamped
+    so the full volume is covered)."""
+    ndims = len(vol_shape)
+    patch_size = _conform(patch_size, ndims, 'patch_size')
+    stride = patch_size if stride is None else _conform(stride, ndims, 'stride')
+
+    axis_starts = []
+    for d in range(ndims):
+        assert patch_size[d] <= vol_shape[d], \
+            f'patch {patch_size[d]} larger than volume {vol_shape[d]} on axis {d}'
+        s = list(range(0, vol_shape[d] - patch_size[d] + 1, stride[d]))
+        if s[-1] != vol_shape[d] - patch_size[d]:
+            s.append(vol_shape[d] - patch_size[d])
+        axis_starts.append(s)
+    return axis_starts, patch_size
+
+
+def grid_size(vol_shape, patch_size, stride=None):
+    """Number of patches along each axis."""
+    axis_starts, _ = patch_starts(vol_shape, patch_size, stride)
+    return tuple(len(s) for s in axis_starts)
+
+
+def patch_gen(vol, patch_size, stride=None):
+    """
+    Yield patches covering `vol` in row-major grid order (equivalent of
+    pystrum `pl.patch_gen`, used at `generators.py:297`).
+    """
+    vol = np.asarray(vol)
+    ndims = len(patch_size) if not np.isscalar(patch_size) else vol.ndim
+    axis_starts, psize = patch_starts(vol.shape[:ndims], patch_size, stride)
+    trailing = vol.shape[ndims:]
+    del trailing
+    for starts in itertools.product(*axis_starts):
+        sl = tuple(slice(s, s + p) for s, p in zip(starts, psize))
+        yield vol[sl]
+
+
+def quilt(patches, patch_size, vol_shape, stride=None, agg='nanmean'):
+    """
+    Reassemble patches (in `patch_gen` order) into a volume, aggregating
+    overlaps with nan-mean or nan-median (equivalent of pystrum `pl.quilt`
+    with nan_func_layers=np.nanmedian, ref `seg.py:100-101,363-374`).
+    """
+    ndims = len(vol_shape)
+    axis_starts, psize = patch_starts(vol_shape, patch_size, stride)
+    n_patches = int(np.prod([len(s) for s in axis_starts]))
+    patches = np.asarray(list(patches)) if not isinstance(patches, np.ndarray) \
+        else patches
+    patches = patches.reshape(n_patches, *psize)
+    assert agg in ('nanmean', 'nanmedian', 'mean'), f'bad agg {agg}'
+
+    if agg in ('nanmean', 'mean'):
+        acc = np.zeros(vol_shape, np.float64)
+        cnt = np.zeros(vol_shape, np.float64)
+        for idx, starts in enumerate(itertools.product(*axis_starts)):
+            sl = tuple(slice(s, s + p) for s, p in zip(starts, psize))
+            p = patches[idx]
+            mask = ~np.isnan(p)
+            acc[sl] += np.where(mask, p, 0)
+            cnt[sl] += mask
+        with np.errstate(invalid='ignore'):
+            out = acc / cnt
+        return out
+
+    # nanmedian: layered accumulation (memory ~ max overlap layers)
+    max_layers = 1
+    for d in range(ndims):
+        st = (axis_starts[d][1] - axis_starts[d][0]) \
+            if len(axis_starts[d]) > 1 else psize[d]
+        max_layers *= int(np.ceil(psize[d] / max(st, 1)))
+    layers = np.full((max_layers, *vol_shape), np.nan)
+    layer_idx = np.zeros(vol_shape, np.int32)
+    for idx, starts in enumerate(itertools.product(*axis_starts)):
+        sl = tuple(slice(s, s + p) for s, p in zip(starts, psize))
+        li = layer_idx[sl]
+        flat_region = tuple(np.indices(psize).reshape(ndims, -1))
+        coords = tuple(fr + s for fr, s in zip(flat_region, starts))
+        layers[(li.reshape(-1), *coords)] = patches[idx].reshape(-1)
+        layer_idx[sl] += 1
+    with np.errstate(invalid='ignore'):
+        return np.nanmedian(layers, axis=0)

@@ -1,0 +1,93 @@
+"""IO tests: NIfTI/MGH roundtrips (+ nibabel-format cross-check via TF-less
+oracle: our writer must be readable by our reader bit-exactly) and
+patch/quilt identities (SURVEY.md §4 item 2)."""
+import numpy as np
+import pytest
+
+from neurite_tpu import io as neio
+
+
+class TestMedIO:
+    @pytest.mark.parametrize('ext', ['.nii', '.nii.gz'])
+    def test_nii_roundtrip(self, tmp_path, ext):
+        rng = np.random.default_rng(0)
+        vol = rng.normal(size=(5, 6, 7)).astype(np.float32)
+        aff = np.eye(4); aff[:3, 3] = [1, 2, 3]
+        p = str(tmp_path / f'vol{ext}')
+        neio.save_nii(p, vol, aff)
+        out = neio.load_nii(p)
+        np.testing.assert_allclose(out.data, vol, rtol=1e-6)
+        np.testing.assert_allclose(out.affine, aff, rtol=1e-5)
+
+    def test_nii_int_dtype(self, tmp_path):
+        vol = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+        p = str(tmp_path / 'v.nii')
+        neio.save_nii(p, vol)
+        out = neio.load_nii(p)
+        np.testing.assert_array_equal(out.data, vol)
+
+    @pytest.mark.parametrize('ext', ['.mgh', '.mgz'])
+    def test_mgh_roundtrip(self, tmp_path, ext):
+        rng = np.random.default_rng(1)
+        vol = rng.normal(size=(4, 5, 6)).astype(np.float32)
+        p = str(tmp_path / f'vol{ext}')
+        neio.save_mgh(p, vol)
+        out = neio.load_mgh(p)
+        np.testing.assert_allclose(out.data, vol, rtol=1e-6)
+
+    def test_volfile_npz(self, tmp_path):
+        vol = np.ones((3, 3), np.float32)
+        p = str(tmp_path / 'v.npz')
+        neio.save_volfile(p, vol)
+        np.testing.assert_array_equal(neio.load_volfile(p), vol)
+
+    def test_volfile_dispatch(self, tmp_path):
+        vol = np.ones((3, 3, 3), np.float32)
+        for ext in ('.npy', '.nii.gz', '.mgz'):
+            p = str(tmp_path / f'v{ext}')
+            neio.save_volfile(p, vol)
+            got = np.asarray(neio.load_volfile(p), np.float32)
+            np.testing.assert_allclose(got, vol)
+
+    def test_nibabel_compat_nii(self, tmp_path):
+        """Cross-check against nibabel if importable (skip otherwise)."""
+        nib = pytest.importorskip('nibabel')
+        vol = np.random.default_rng(0).normal(size=(4, 4, 4)).astype(np.float32)
+        p = str(tmp_path / 'v.nii')
+        neio.save_nii(p, vol)
+        out = nib.load(p)
+        np.testing.assert_allclose(np.asarray(out.dataobj), vol, rtol=1e-6)
+
+
+class TestTiling:
+    def test_patch_count_and_shapes(self):
+        vol = np.arange(100, dtype=float).reshape(10, 10)
+        patches = list(neio.patch_gen(vol, (4, 4), stride=(3, 3)))
+        gs = neio.grid_size((10, 10), (4, 4), (3, 3))
+        assert len(patches) == int(np.prod(gs))
+        assert all(p.shape == (4, 4) for p in patches)
+
+    def test_quilt_patch_identity_no_overlap(self):
+        vol = np.random.default_rng(0).normal(size=(8, 8))
+        patches = list(neio.patch_gen(vol, (4, 4)))
+        out = neio.quilt(patches, (4, 4), (8, 8))
+        np.testing.assert_allclose(out, vol, rtol=1e-6)
+
+    def test_quilt_overlap_mean(self):
+        vol = np.random.default_rng(1).normal(size=(9, 9))
+        patches = list(neio.patch_gen(vol, (4, 4), stride=(2, 2)))
+        out = neio.quilt(patches, (4, 4), (9, 9), stride=(2, 2))
+        np.testing.assert_allclose(out, vol, rtol=1e-5)
+
+    def test_quilt_nanmedian(self):
+        vol = np.random.default_rng(2).normal(size=(8, 8))
+        patches = list(neio.patch_gen(vol, (4, 4), stride=(2, 2)))
+        out = neio.quilt(patches, (4, 4), (8, 8), stride=(2, 2),
+                         agg='nanmedian')
+        np.testing.assert_allclose(out, vol, rtol=1e-5)
+
+    def test_quilt_3d(self):
+        vol = np.random.default_rng(3).normal(size=(6, 7, 8))
+        patches = list(neio.patch_gen(vol, (4, 4, 4), stride=(2, 3, 4)))
+        out = neio.quilt(patches, (4, 4, 4), (6, 7, 8), stride=(2, 3, 4))
+        np.testing.assert_allclose(out, vol, rtol=1e-5)
