@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neurite_tpu.utils import core
+from neurite_tpu import ops
 
 EPSILON = 1e-7  # keras backend epsilon, for formula-level parity
 
@@ -133,6 +134,40 @@ class MutualInformation:
         log_term = jnp.log(pxy / (pxpy + eps) + eps)
         return jnp.sum(pxy * log_term, axis=(1, 2))
 
+    def volumes_fused(self, x, y, impl='auto', interpret=False):
+        """
+        MI between two single-channel volumes via the fused soft-quantize +
+        joint-histogram kernel (`neurite_tpu.ops.mi_histograms`) — single HBM
+        pass over the volumes instead of materializing [bs, V, B] maps.
+        Numerically identical to `volumes()` (parity-tested).
+        """
+        msg = 'volume_mi requires two single-channel volumes.'
+        assert x.shape[-1] == 1 and y.shape[-1] == 1, msg
+        xf = jnp.asarray(x, jnp.float32).reshape(x.shape[0], -1)
+        yf = jnp.asarray(y, jnp.float32).reshape(y.shape[0], -1)
+        if self.bin_centers is not None:
+            cbx = cby = self.bin_centers
+        else:
+            # reference soft_quantize derives centers from per-tensor min/max
+            # (`neurite/tf/utils/utils.py:1152-1154`)
+            cbx = jnp.linspace(jnp.min(xf), jnp.max(xf), self.nb_bins)
+            cby = jnp.linspace(jnp.min(yf), jnp.max(yf), self.nb_bins)
+        pxy, px, py = ops.mi_histograms(
+            xf, yf, cbx, self.soft_bin_alpha, min_clip=self.min_clip,
+            max_clip=self.max_clip, impl=impl, interpret=interpret,
+            bin_centers_y=cby)
+        return self._mi_from_histograms(pxy, px, py)
+
+    def _mi_from_histograms(self, pxy, px, py):
+        """Finish the MI formula from raw histogram sums (ref maps() math)."""
+        eps = EPSILON
+        pxy = pxy / (jnp.sum(pxy, axis=(1, 2), keepdims=True) + eps)
+        px = px / (jnp.sum(px, 1, keepdims=True) + eps)
+        py = py / (jnp.sum(py, 1, keepdims=True) + eps)
+        pxpy = px[:, :, None] * py[:, None, :]
+        log_term = jnp.log(pxy / (pxpy + eps) + eps)
+        return jnp.sum(pxy * log_term, axis=(1, 2))
+
     def _soft_log_sim_map(self, x):
         return core.soft_quantize(
             x, alpha=self.soft_bin_alpha, bin_centers=self.bin_centers,
@@ -161,7 +196,8 @@ class Dice:
 
     def __init__(self, dice_type='soft', input_type='prob', nb_labels=None,
                  weights=None, check_input_limits=True, laplace_smoothing=0.,
-                 normalize=False):
+                 normalize=False, use_kernel='auto'):
+        self.use_kernel = use_kernel
         self.dice_type = dice_type
         self.input_type = input_type
         self.nb_labels = nb_labels
@@ -207,8 +243,10 @@ class Dice:
         y_true = core.batch_channel_flatten(y_true)
         y_pred = core.batch_channel_flatten(y_pred)
 
-        top = 2 * jnp.sum(y_true * y_pred, 1)
-        bottom = jnp.sum(jnp.square(y_true), 1) + jnp.sum(jnp.square(y_pred), 1)
+        # fused one-pass reduction kernel on TPU, identical jnp math elsewhere
+        s_xy, s_tt, s_pp = ops.dice_sums(y_true, y_pred, impl=self.use_kernel)
+        top = 2 * s_xy
+        bottom = s_tt + s_pp
         if self.laplace_smoothing > 0:
             eps = self.laplace_smoothing
             return (top + eps) / (bottom + eps)

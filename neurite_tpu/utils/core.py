@@ -166,9 +166,13 @@ def resize(vol, zoom_factor, interp_method='linear', new_shape=None):
             return vol
         new_shape = [int(vol_shape[d] * zoom_factor[d]) for d in range(ndims)]
 
-    lin = [jnp.linspace(0., vol_shape[d] - 1., new_shape[d]) for d in range(ndims)]
-    grid = ndgrid(*lin)
-    return interpn(vol, grid, interp_method=interp_method)
+    # a zoom grid is axis-separable, so the 2^N-corner interpn gather chain
+    # factorizes into N 1-D passes (contiguous takes / MXU matmuls) — the
+    # TPU-native replacement for the reference's scattered gathers.
+    # Identical numerics to interpn on the equivalent ndgrid (parity-tested).
+    from neurite_tpu.ops import resize_mm
+    return resize_mm.resize_separable(vol, tuple(int(s) for s in new_shape),
+                                      method=interp_method)
 
 
 zoom = resize
