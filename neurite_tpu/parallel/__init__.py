@@ -5,3 +5,6 @@ from neurite_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS, SPACE_AXIS, create_mesh, batch_sharding, replicated,
     shard_batch, make_sharded_train_step,
 )
+from neurite_tpu.parallel.halo import (  # noqa: F401
+    halo_exchange, sharded_conv, sharded_separable_blur, sharded_dice_sums,
+)

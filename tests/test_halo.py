@@ -1,0 +1,97 @@
+"""
+Halo-exchange spatial sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4 item 5, §5.7): sharded convs/blurs/reductions must equal their
+unsharded counterparts exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurite_tpu import parallel
+from neurite_tpu.utils import core
+
+
+rng = np.random.default_rng(3)
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    return parallel.create_mesh(data=2, space=4)
+
+
+def test_sharded_conv_matches_unsharded(mesh):
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(5, 3, 3, 4)), jnp.float32)
+
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(2, 2), (1, 1)],
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ('NHWC', 'HWIO', 'NHWC')))
+    got = parallel.sharded_conv(x, k, mesh, sharded_axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_conv_3d(mesh):
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 6, 2)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 3)), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), 'SAME',
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ('NDHWC', 'DHWIO', 'NDHWC')))
+    got = parallel.sharded_conv(x, k, mesh, sharded_axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_conv_rejects_even_kernel(mesh):
+    x = jnp.zeros((1, 8, 8, 1))
+    k = jnp.zeros((4, 3, 1, 1))
+    with pytest.raises(AssertionError):
+        parallel.sharded_conv(x, k, mesh, sharded_axis=1)
+
+
+def test_sharded_blur_matches_separable_conv(mesh):
+    x = jnp.asarray(rng.normal(size=(2, 16, 8, 1)), jnp.float32)
+    kernels = [core.gaussian_kernel(1.5, separate=True),
+               core.gaussian_kernel(0.8, separate=True)]
+    want = core.separable_conv(x, kernels, batched=True)
+    got = parallel.sharded_separable_blur(x, kernels, mesh, sharded_axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_dice_sums(mesh):
+    x = jnp.asarray(rng.uniform(0, 1, size=(2, 16, 4, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 1, size=(2, 16, 4, 3)), jnp.float32)
+    got = parallel.sharded_dice_sums(x, y, mesh, sharded_axis=1)
+    xf = x.reshape(2, -1, 3)
+    yf = y.reshape(2, -1, 3)
+    want = (jnp.sum(xf * yf, 1), jnp.sum(xf * xf, 1), jnp.sum(yf * yf, 1))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_halo_exchange_boundary_modes(mesh):
+    x = jnp.asarray(rng.normal(size=(2, 16, 4, 1)), jnp.float32)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from neurite_tpu.parallel.halo import halo_exchange
+
+    for boundary in ('zero', 'edge'):
+        f = shard_map(
+            lambda t: halo_exchange(t, 2, 1, boundary=boundary),
+            mesh=mesh, in_specs=P(None, 'space'),
+            out_specs=P(None, 'space'))
+        out = np.asarray(f(x))
+        assert out.shape == (2, 16 + 2 * 8, 4, 1)  # each of 4 shards +4
+
+    # zero mode: global left edge must be zeros
+    f0 = shard_map(
+        lambda t: halo_exchange(t, 2, 1, boundary='zero'),
+        mesh=mesh, in_specs=P(None, 'space'), out_specs=P(None, 'space'))
+    out = np.asarray(f0(x))
+    np.testing.assert_allclose(out[:, :2], 0.)
