@@ -274,3 +274,12 @@ class PlotTestSlices:
         fig.savefig(self.savefilepath.format(step=int(state.step)))
         import matplotlib.pyplot as plt
         plt.close(fig)
+
+
+class ModelCheckpointParallel(ModelCheckpoint):
+    """
+    Reference `ModelCheckpointParallel` (`callbacks.py:484-607`) existed to
+    unwrap keras multi-GPU replica wrappers before saving. Under pjit/SPMD
+    there is one logical model whatever the mesh, so this is simply
+    `ModelCheckpoint` — kept for API parity.
+    """

@@ -647,3 +647,9 @@ def _get_shape(x):
     if isinstance(x, (list, tuple)):
         return _get_shape(x[0])
     return x.shape[0]
+
+
+# reference `generators.py:45-78` defines a `Vol` class that is dead code
+# (undefined names); the working TPU-native equivalent is the deterministic
+# `VolumeDataset`. `Vol` aliases it for API parity.
+Vol = VolumeDataset

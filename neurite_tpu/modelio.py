@@ -219,3 +219,59 @@ def load_model(path, builder=None, **overrides):
     module = builder(**config)
     variables = load_variables(path)
     return module, variables
+
+
+class LoadableModel:
+    """
+    Convenience bundle of (module, variables, config) with `save`/`load` —
+    the functional analogue of the reference's `LoadableModel` keras subclass
+    (`neurite/tf/modelio.py:78-166`): models rebuildable from a checkpoint
+    alone, with the builder config embedded.
+
+    Subclass usage mirrors the reference:
+
+        class MyModel(ne.modelio.LoadableModel):
+            @ne.modelio.store_config_args
+            def __init__(self, nb_features=8, ...):
+                module = ne.models.unet(nb_features=nb_features, ...)
+                super().__init__(module)
+
+        m = MyModel(nb_features=16)
+        m.init(rng, x); m.save('/ckpt'); m2 = MyModel.load('/ckpt')
+    """
+
+    def __init__(self, module=None, variables=None, metadata=None):
+        if not hasattr(self, 'config'):
+            # direct construction without @store_config_args
+            self.config = ModelConfig({})
+        self.module = module
+        self.variables = variables
+        self.metadata = metadata or {}
+
+    def init(self, rngs, *args, **kwargs):
+        self.variables = self.module.init(rngs, *args, **kwargs)
+        return self.variables
+
+    def apply(self, *args, **kwargs):
+        assert self.variables is not None, 'call init() or load() first'
+        return self.module.apply(self.variables, *args, **kwargs)
+
+    def get_config(self):
+        return dict(self.config.params)
+
+    def save(self, path):
+        assert self.variables is not None, 'no variables to save'
+        cfg = dict(self.config.params)
+        cfg['builder'] = f'{type(self).__module__}.{type(self).__name__}'
+        save_model(path, cfg, self.variables, metadata=self.metadata)
+
+    @classmethod
+    def load(cls, path, **overrides):
+        config = load_config(path)
+        metadata = config.pop('metadata', None)
+        config.pop('builder', None)
+        config.update(overrides)
+        obj = cls(**config)
+        obj.variables = load_variables(path)
+        obj.metadata = metadata or {}
+        return obj

@@ -21,7 +21,7 @@ import numpy as np
 from neurite_tpu.py.utils import normalize_axes
 
 __all__ = [
-    'interpn', 'resize', 'zoom', 'map_fn_axis',
+    'setup_device', 'interpn', 'resize', 'zoom', 'map_fn_axis',
     'volshape_to_ndgrid', 'volshape_to_meshgrid', 'ndgrid', 'meshgrid',
     'flatten', 'take', 'barycenter',
     'gaussian_kernel', 'separable_conv', 'subsample_axis',
@@ -43,6 +43,22 @@ def as_key(seed):
     if isinstance(seed, (int, np.integer)):
         return jax.random.PRNGKey(seed)
     return seed
+
+
+def setup_device(gpuid=None):
+    """
+    Device setup — TPU-native equivalent of reference `setup_device`
+    (`neurite/tf/utils/utils.py:38-70`, CUDA device strings + TF memory
+    growth). Here devices are managed by the JAX runtime; this returns the
+    device list (optionally one device by index) for explicit `device_put` /
+    mesh construction. Multi-device policy lives in `neurite_tpu.parallel`.
+    """
+    devices = jax.devices()
+    if gpuid is None or (isinstance(gpuid, str) and gpuid == ''):
+        return devices
+    if isinstance(gpuid, str):
+        gpuid = int(gpuid.split(',')[0])
+    return [devices[int(gpuid)]]
 
 
 ###############################################################################

@@ -259,3 +259,26 @@ def latent_stats_plots(stats, figsize=(12, 4)):
         axes[2].set_title('sorted mean var')
     fig.tight_layout()
     return fig, axes
+
+
+def model_output_pca(apply_fn, data_iter, nb_batches, nb_components=None):
+    """
+    PCA of a model-output (or any apply_fn-output) distribution gathered over
+    a generator — reference `model_output_pca` (`vae.py:322-355`, sklearn PCA
+    -> numpy SVD). Returns (components [k, D], explained_variance [k],
+    mean [D], projected [N, k]).
+    """
+    outs = []
+    for _ in range(nb_batches):
+        batch = next(data_iter)
+        x = batch[0] if isinstance(batch, (tuple, list)) else batch
+        out = apply_fn(jnp.asarray(x, jnp.float32))
+        outs.append(np.asarray(out).reshape(np.shape(out)[0], -1))
+    data = np.concatenate(outs, 0)
+    mean = data.mean(0)
+    centered = data - mean
+    _, s, vt = np.linalg.svd(centered, full_matrices=False)
+    k = nb_components or vt.shape[0]
+    var = (s ** 2) / max(data.shape[0] - 1, 1)
+    proj = centered @ vt[:k].T
+    return vt[:k], var[:k], mean, proj
