@@ -33,10 +33,14 @@ def main():
     import neurite_tpu as ne
     from neurite_tpu import training
 
+    # bf16 compute / f32 params: the TPU MXU fast path (set BENCH_DTYPE=float32
+    # to measure the full-precision path instead)
+    dtype = {'bfloat16': jnp.bfloat16, 'float32': None}[
+        os.environ.get('BENCH_DTYPE', 'bfloat16')]
     model = ne.models.unet(
         nb_features=nb_feats, input_shape=(vol, vol, vol, 1),
         nb_levels=nb_levels, conv_size=3, nb_labels=nb_labels, feat_mult=2,
-        nb_conv_per_level=2)
+        nb_conv_per_level=2, dtype=dtype)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, vol, vol, vol, 1)), jnp.float32)

@@ -118,6 +118,7 @@ class ConvEnc(nn.Module):
     conv_dropout: float = 0
     batch_norm: Optional[int] = None
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
 
     @nn.compact
     def __call__(self, x, training=False):
@@ -141,6 +142,7 @@ class ConvEnc(nn.Module):
             for conv, nf in enumerate(feats):
                 last = conv == len(feats) - 1
                 x = nn.Conv(nf, **opts, param_dtype=self.param_dtype,
+                            dtype=self.dtype,
                             name=f'conv_downarm_{level}_{conv}')(x)
                 # last conv of a residual level has no activation (ref :1383-1388)
                 if not (last and self.use_residuals):
@@ -159,6 +161,7 @@ class ConvEnc(nn.Module):
                 if nb_in > 1 and nb_out > 1 and nb_in != nb_out:
                     add_layer = nn.Conv(feats[-1], **opts,
                                         param_dtype=self.param_dtype,
+                                        dtype=self.dtype,
                                         name=f'expand_down_merge_{level}')(lvl_first)
                     add_layer = act(add_layer)
                     if self.conv_dropout > 0:
@@ -170,6 +173,7 @@ class ConvEnc(nn.Module):
 
             if self.batch_norm is not None:
                 x = nn.BatchNorm(use_running_average=not training,
+                                 dtype=self.dtype,
                                  axis=self.batch_norm,
                                  name=f'bn_down_{level}')(x)
 
@@ -205,6 +209,7 @@ class ConvDec(nn.Module):
     batch_norm: Optional[int] = None
     conv_dropout: float = 0
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
 
     @nn.compact
     def __call__(self, x, skips=None, training=False):
@@ -237,6 +242,7 @@ class ConvDec(nn.Module):
             for conv, nf in enumerate(feats):
                 last = conv == len(feats) - 1
                 x = nn.Conv(nf, **opts, param_dtype=self.param_dtype,
+                            dtype=self.dtype,
                             name=f'conv_uparm_{nb_levels + level}_{conv}')(x)
                 if not (last and self.use_residuals):
                     x = act(x)
@@ -252,18 +258,21 @@ class ConvDec(nn.Module):
                 if nb_in > 1 and nb_out > 1 and nb_in != nb_out:
                     add_layer = nn.Conv(feats[-1], **opts,
                                         param_dtype=self.param_dtype,
+                                        dtype=self.dtype,
                                         name=f'expand_up_merge_{level}')(add_layer)
                     add_layer = act(add_layer)
                 x = act(x + add_layer)
 
             if self.batch_norm is not None:
                 x = nn.BatchNorm(use_running_average=not training,
+                                 dtype=self.dtype,
                                  axis=self.batch_norm,
                                  name=f'bn_up_{level}')(x)
 
         # final 1x1 likelihood conv (no activation)
         like = nn.Conv(self.nb_labels, kernel_size=(1,) * ndims,
                        padding='SAME', param_dtype=self.param_dtype,
+                       dtype=self.dtype,
                        name='likelihood')(x)
 
         if self.final_pred_activation == 'softmax':
@@ -324,6 +333,7 @@ class UNet(nn.Module):
     conv_dropout: float = 0
     batch_norm: Optional[int] = None
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
 
     @nn.compact
     def __call__(self, x, prior=None, training=False):
@@ -354,7 +364,7 @@ class UNet(nn.Module):
             use_residuals=self.use_residuals,
             nb_conv_per_level=nb_conv, conv_dropout=self.conv_dropout,
             batch_norm=self.batch_norm, param_dtype=self.param_dtype,
-            name='enc')(x, training=training)
+            dtype=self.dtype, name='enc')(x, training=training)
 
         pred = ConvDec(
             nb_features=self.nb_features, nb_levels=nb_levels,
@@ -367,7 +377,7 @@ class UNet(nn.Module):
                                    else self.final_pred_activation),
             nb_conv_per_level=nb_conv, layer_nb_feats=dec_lnf,
             batch_norm=self.batch_norm, conv_dropout=self.conv_dropout,
-            param_dtype=self.param_dtype, name='dec')(
+            param_dtype=self.param_dtype, dtype=self.dtype, name='dec')(
                 x, skips=skips, training=training)
 
         if self.add_prior_layer:
@@ -387,7 +397,7 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
          padding='same', dilation_rate_mult=1, activation='elu',
          use_residuals=False, final_pred_activation='softmax',
          nb_conv_per_level=1, add_prior_layer=False, add_prior_layer_reg=0,
-         layer_nb_feats=None, conv_dropout=0, batch_norm=None):
+         layer_nb_feats=None, conv_dropout=0, batch_norm=None, dtype=None):
     """
     Build a UNet module (reference `neurite/tf/models.py:88-246` knob set).
 
@@ -406,7 +416,7 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 nb_conv_per_level=nb_conv_per_level,
                 add_prior_layer=add_prior_layer,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
-                batch_norm=batch_norm)
+                batch_norm=batch_norm, dtype=dtype)
 
 
 def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
@@ -427,7 +437,7 @@ def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 add_prior_layer=add_prior_layer,
                 add_prior_layer_reg=add_prior_layer_reg,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
-                batch_norm=batch_norm)
+                batch_norm=batch_norm, dtype=dtype)
 
 
 def conv_enc(nb_features, input_shape, nb_levels, conv_size, name=None,

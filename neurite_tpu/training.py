@@ -143,3 +143,33 @@ def fit(state, train_step, data_iter, nb_steps, rng, callbacks=(),
             cb.on_train_end(state)
 
     return state, history
+
+
+def profile_trace(logdir):
+    """
+    Context manager around `jax.profiler.trace` for train-loop profiling
+    (SURVEY.md §5.1 — replaces the reference's host-side Timer usage with a
+    real device profile; view with TensorBoard/Perfetto).
+    """
+    return jax.profiler.trace(logdir)
+
+
+def annotate_step(step_num):
+    """`jax.profiler.StepTraceAnnotation` for marking steps inside a trace."""
+    return jax.profiler.StepTraceAnnotation('train', step_num=step_num)
+
+
+def make_checked_train_step(loss_fn, **kwargs):
+    """
+    Debug-mode train step wrapped in `jax.experimental.checkify`: NaN and
+    out-of-bounds-index errors are captured and returned instead of producing
+    silent garbage (SURVEY.md §5.2 — the functional replacement for the
+    reference's runtime assert sprinkling, `neurite/tf/metrics.py:138-178`).
+
+    Returns step(state, batch, rng) -> (error, (new_state, metrics)); call
+    `error.throw()` on the host to raise on failure.
+    """
+    from jax.experimental import checkify
+    base = make_train_step(loss_fn, **kwargs)
+    return checkify.checkify(
+        base, errors=checkify.float_checks | checkify.index_checks)

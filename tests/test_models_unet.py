@@ -276,3 +276,25 @@ class TestEndToEndTrain:
                                        rng=jax.random.PRNGKey(2), log_every=1)
         final_loss = history[0]['loss']
         assert final_loss < -0.75, f'dice loss did not improve: {final_loss}'
+
+
+def test_unet_bf16_compute_dtype():
+    """Mixed precision: bf16 compute, f32 params — outputs close to f32."""
+    import neurite_tpu as ne
+    model32 = ne.models.unet(nb_features=4, input_shape=(16, 16, 1),
+                             nb_levels=2, conv_size=3, nb_labels=2)
+    model16 = ne.models.unet(nb_features=4, input_shape=(16, 16, 1),
+                             nb_levels=2, conv_size=3, nb_labels=2,
+                             dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 1)),
+                    jnp.float32)
+    v = model32.init(jax.random.PRNGKey(0), x)
+    # params are f32 regardless of compute dtype
+    for leaf in jax.tree_util.tree_leaves(v['params']):
+        assert leaf.dtype == jnp.float32
+    out32 = model32.apply(v, x)
+    out16 = model16.apply(v, x)
+    assert np.isfinite(np.asarray(out16, np.float32)).all()
+    # softmax outputs in [0,1]; bf16 rounding stays within a few 1e-2
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), atol=0.05)

@@ -239,3 +239,29 @@ class TestCallbacks:
         cb.on_train_begin(state)
         cb.on_batch_end(0, state=state, logs={})
         assert len(cb.times) == 1
+
+
+def test_checked_train_step_catches_nan():
+    """Debug-mode checkify step flags NaNs instead of silent garbage."""
+    import optax
+    import neurite_tpu as ne
+    from neurite_tpu import training
+
+    model = ne.models.unet(nb_features=4, input_shape=(8, 8, 1), nb_levels=2,
+                           conv_size=3, nb_labels=2)
+    x = jnp.zeros((1, 8, 8, 1))
+    y = jnp.zeros((1, 8, 8, 2)).at[..., 0].set(1.)
+    state = training.create_train_state(model, jax.random.PRNGKey(0), x,
+                                        optax.adam(1e-3))
+    step = jax.jit(training.make_checked_train_step(
+        ne.losses.SoftDice(check_input_limits=False).loss))
+    err, (state2, metrics) = step(state, {'x': x, 'y': y},
+                                  jax.random.PRNGKey(1))
+    err.throw()  # healthy step: no error
+    assert np.isfinite(float(metrics['loss']))
+
+    bad = jax.tree_util.tree_map(lambda p: p * jnp.nan, state.params)
+    err2, _ = step(state.replace(params=bad), {'x': x, 'y': y},
+                   jax.random.PRNGKey(1))
+    with pytest.raises(Exception):
+        err2.throw()
