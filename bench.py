@@ -27,7 +27,9 @@ def main():
     vol = 128 if on_tpu else 32
     nb_feats = 16
     nb_levels = 4 if on_tpu else 3
-    batch = 1
+    # batch 2 measured ~9% more volumes/sec/chip than batch 1 (v5e); batch 4
+    # exceeds HBM at this config
+    batch = int(os.environ.get('BENCH_BATCH', 2 if on_tpu else 1))
     nb_labels = 4
 
     import neurite_tpu as ne
@@ -76,6 +78,63 @@ def main():
 
     vols_per_sec = batch / step_s
     dt, nb_steps = step_s, 1
+
+    # secondary BASELINE metric: interpn Gvoxels/sec (dense random warp) and
+    # the separable-resize path, two-point fit with chained applications
+    def fit_chain(fn, x0, n1, n2):
+        import jax as _jax
+
+        def chain(n):
+            @_jax.jit
+            def g(v):
+                for _ in range(n):
+                    v = fn(v)
+                return v
+            return g
+        g1, g2 = chain(n1), chain(n2)
+        outs = []
+        for g in (g1, g2):
+            r = g(x0)
+            _ = np.asarray(r.ravel()[:1])       # compile + sync
+            t0 = time.time()
+            r = g(x0)
+            _ = np.asarray(r.ravel()[:1])
+            outs.append(time.time() - t0)
+        return (outs[1] - outs[0]) / (n2 - n1)
+
+    # guard: remote compiles of gather-heavy chains can hang for minutes on
+    # tunneled backends — skip the extras rather than time out the bench
+    import signal
+
+    def with_deadline(fn, seconds=240):
+        if os.environ.get('BENCH_SKIP_EXTRA'):
+            return None
+
+        def _raise(signum, frame):
+            raise TimeoutError
+
+        old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(seconds)
+        try:
+            return fn()
+        except Exception:
+            return None
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    wv = 128 if on_tpu else 32
+    wvol = jnp.asarray(rng.normal(size=(wv, wv, wv, 1)), jnp.float32)
+    base_grid = jnp.stack(ne.utils.volshape_to_ndgrid((wv,) * 3),
+                          -1).astype(jnp.float32)
+    shift = jnp.asarray(rng.uniform(-3, 3, size=(wv, wv, wv, 3)), jnp.float32)
+    loc = base_grid + shift
+    warp_s = with_deadline(
+        lambda: fit_chain(lambda v: ne.utils.interpn(v, loc), wvol, 1, 2))
+    resize_s = with_deadline(
+        lambda: fit_chain(lambda v: ne.utils.resize(ne.utils.resize(v, 2.),
+                                                    0.5), wvol, 1, 3))
+
     result = {
         'metric': f'3D UNet-{vol}^3 train step volumes/sec/chip',
         'value': round(vols_per_sec, 4),
@@ -85,6 +144,11 @@ def main():
         'compile_s': round(compile_s, 2),
         'step_ms': round(1000 * dt / nb_steps, 2),
         'loss': float(metrics['loss']),
+        'interpn_warp_gvoxps': (round(wv ** 3 / warp_s / 1e9, 3)
+                                if warp_s else None),
+        'resize_up2_down_gvoxps': (round(((2 * wv) ** 3 + wv ** 3)
+                                         / resize_s / 1e9, 3)
+                                   if resize_s else None),
     }
     print(json.dumps(result))
 

@@ -81,7 +81,10 @@ class CheckLossTrend:
         if loss > losses_mean + self.nb_std_err * losses_std:
             print(f'Found loss {loss}, which is much higher than '
                   f'{losses_mean} + {losses_std}', file=sys.stderr)
-        if (loss - losses_mean) > (losses_mean * 100):
+        # magnitude-based spike gate: the reference compares
+        # `loss - mean > mean * 100` (`callbacks.py:141-144`), which misfires
+        # for negative losses (e.g. soft-Dice); compare magnitudes instead
+        if (loss - losses_mean) > (abs(losses_mean) * 100):
             raise ValueError(f'Found loss {loss}, which is much higher '
                              f'than {losses_mean} * 100')
         self.losses = [*self.losses[1:], loss]

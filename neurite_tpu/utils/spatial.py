@@ -112,14 +112,14 @@ def integrate_vec(vec, nb_steps=7):
     Integrate a stationary velocity field via scaling and squaring:
     phi = exp(vec) approximated with `nb_steps` squarings.
 
-    Equivalent of voxelmorph VecInt (ref `models.py:1149`). The loop is a
-    static unroll of `nb_steps` warp compositions — each is one fused
-    interpn pass on TPU.
+    Equivalent of voxelmorph VecInt (ref `models.py:1149`). Rolled as a
+    `lax.fori_loop` so the compiled HLO contains ONE warp regardless of
+    nb_steps — an unrolled chain of gather-heavy warps inflates XLA compile
+    time badly on remote-compile TPU runtimes.
     """
     vec = vec / (2.0 ** nb_steps)
-    for _ in range(nb_steps):
-        vec = vec + transform(vec, vec)
-    return vec
+    return jax.lax.fori_loop(
+        0, nb_steps, lambda _, v: v + transform(v, v), vec)
 
 
 def rescale_dense_transform(field, factor, interp_method='linear'):
