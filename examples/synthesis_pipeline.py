@@ -28,8 +28,10 @@ def main():
 
     labels = jnp.asarray(np.random.default_rng(0).integers(
         0, nb_labels, size=(1, size, size, size, 1)), jnp.int32)
-    gen_vars = gen.init({'params': jax.random.PRNGKey(0),
-                         'augment': jax.random.PRNGKey(1)}, labels)
+    # jit the init: on remote-compile TPU runtimes an eager init of a
+    # 128^3 synthesis graph can take minutes of per-op round trips
+    gen_vars = jax.jit(gen.init)({'params': jax.random.PRNGKey(0),
+                                  'augment': jax.random.PRNGKey(1)}, labels)
     state = training.create_train_state(
         unet, jax.random.PRNGKey(0), jnp.zeros((1,) + (size,) * 3 + (1,)),
         optax.adam(1e-3))

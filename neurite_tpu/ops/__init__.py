@@ -22,6 +22,6 @@ from neurite_tpu.ops.resize_mm import (  # noqa: F401
     interp_matrix,
     resize_separable,
 )
-from neurite_tpu.ops.warp import interpn_cube  # noqa: F401
+from neurite_tpu.ops.warp import interpn_cube, interpn_rows  # noqa: F401
 from neurite_tpu.ops.mi_hist import mi_histograms  # noqa: F401
 from neurite_tpu.ops.dice_red import dice_sums  # noqa: F401

@@ -65,7 +65,7 @@ def setup_device(gpuid=None):
 # interpolation
 ###############################################################################
 
-def interpn(vol, loc, interp_method='linear', fill_value=None):
+def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto'):
     """
     N-D gridded interpolation (linear or nearest) of `vol` at locations `loc`.
 
@@ -91,6 +91,16 @@ def interpn(vol, loc, interp_method='linear', fill_value=None):
     nb_dims = loc.shape[-1]
     input_vol_ndim = jnp.ndim(vol)
     vol = jnp.asarray(vol)
+
+    # 3-D fast path: row gathers (contiguous 512B lane rows) instead of the
+    # reference's 2^N per-element gather chain — identical numerics
+    # (ops.warp.interpn_rows, parity-tested). 'gather' forces the generic
+    # N-D formulation.
+    if (impl in ('auto', 'rows') and nb_dims == 3
+            and vol.ndim in (3, 4) and all(s > 1 for s in vol.shape[:3])):
+        from neurite_tpu.ops import warp as warp_ops
+        return warp_ops.interpn_rows(vol, loc, interp_method=interp_method,
+                                     fill_value=fill_value)
 
     if vol.ndim not in (nb_dims, nb_dims + 1):
         raise ValueError(

@@ -155,3 +155,40 @@ def test_dice_metric_unchanged_by_kernel():
     got = top / jnp.maximum(bottom, 1e-7)  # div_no_nan-equivalent for y!=0
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- warp rows
+@pytest.mark.parametrize('channels', [None, 1, 3])
+@pytest.mark.parametrize('method', ['linear', 'nearest'])
+@pytest.mark.parametrize('fill', [None, 0.0])
+def test_interpn_rows_matches_generic(channels, method, fill):
+    shape = (10, 9, 8) + (() if channels is None else (channels,))
+    vol = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-4, 14, size=(6, 5, 4, 3)), jnp.float32)
+    # pin exact integers and corners
+    loc = loc.at[0, 0, 0].set(jnp.asarray([9., 8., 7.]))
+    loc = loc.at[0, 0, 1].set(jnp.asarray([0., 0., 0.]))
+    loc = loc.at[0, 1, 0].set(jnp.asarray([3., 4., 5.]))
+    want = core.interpn(vol, loc, interp_method=method, fill_value=fill,
+                        impl='gather')
+    got = ops.interpn_rows(vol, loc, interp_method=method, fill_value=fill)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # the default interpn dispatch must take the rows path and agree too
+    auto = core.interpn(vol, loc, interp_method=method, fill_value=fill)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_rows_gradient():
+    vol = jnp.asarray(rng.normal(size=(6, 6, 6, 2)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0, 5, size=(4, 4, 4, 3)), jnp.float32)
+
+    def f_rows(v, l):
+        return jnp.sum(ops.interpn_rows(v, l) ** 2)
+
+    def f_gen(v, l):
+        return jnp.sum(core.interpn(v, l, impl='gather') ** 2)
+
+    gv_r, gl_r = jax.grad(f_rows, argnums=(0, 1))(vol, loc)
+    gv_g, gl_g = jax.grad(f_gen, argnums=(0, 1))(vol, loc)
+    np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_g), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl_r), np.asarray(gl_g), atol=1e-4)
