@@ -25,6 +25,12 @@ def interpn_rows(vol, loc, interp_method='linear', fill_value=None):
     `utils.interpn` numerics (same clipping/corner-weight convention;
     parity-tested).
 
+    NOTE measured on a v5e chip at 128^3 this LOSES to the flat 8-gather
+    (274ms vs 133ms at C=1, 976ms vs 104ms at C=3): the full-row fetches
+    waste 126/128 lanes per corner and the lane-selects are themselves
+    gathers. Kept as an `impl='rows'` option — the trade-off can flip on
+    other topologies (e.g. wide-C volumes where rows are fully used).
+
     vol: [D, H, W] or [D, H, W, C]; loc: [*out_shape, 3] or list of 3.
     """
     if isinstance(loc, (list, tuple)):

@@ -92,11 +92,12 @@ def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto'):
     input_vol_ndim = jnp.ndim(vol)
     vol = jnp.asarray(vol)
 
-    # 3-D fast path: row gathers (contiguous 512B lane rows) instead of the
-    # reference's 2^N per-element gather chain — identical numerics
-    # (ops.warp.interpn_rows, parity-tested). 'gather' forces the generic
-    # N-D formulation.
-    if (impl in ('auto', 'rows') and nb_dims == 3
+    # impl='rows' selects the row-gather formulation (ops.warp.interpn_rows).
+    # Measured on v5e at 128^3 it LOSES to the flat 8-gather (274ms vs 133ms
+    # at C=1; 976ms vs 104ms at C=3 — full-row fetches waste 126/128 lanes),
+    # so 'auto' stays on the gather chain; 'rows' remains for other
+    # topologies/backends.
+    if (impl == 'rows' and nb_dims == 3
             and vol.ndim in (3, 4) and all(s > 1 for s in vol.shape[:3])):
         from neurite_tpu.ops import warp as warp_ops
         return warp_ops.interpn_rows(vol, loc, interp_method=interp_method,
