@@ -10,6 +10,7 @@ __version__ = '0.1.0'
 
 from neurite_tpu import py  # noqa: F401
 from neurite_tpu import utils  # noqa: F401
+from neurite_tpu import ops  # noqa: F401
 from neurite_tpu import metrics  # noqa: F401
 from neurite_tpu import losses  # noqa: F401
 from neurite_tpu import regularizers  # noqa: F401

@@ -14,6 +14,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import FrozenDict
@@ -173,3 +174,71 @@ def make_checked_train_step(loss_fn, **kwargs):
     base = make_train_step(loss_fn, **kwargs)
     return checkify.checkify(
         base, errors=checkify.float_checks | checkify.index_checks)
+
+
+def save_checkpoint(path, state: TrainState, extra=None):
+    """
+    Save a full training checkpoint: params, mutable variables, optimizer
+    state, step, and arbitrary `extra` (e.g. data-sampler position, host
+    RNG) — strictly more than the reference's weight-only H5 saves
+    (SURVEY.md §5.4), enabling exact resume.
+    """
+    import os
+    import pickle
+
+    from neurite_tpu import modelio
+
+    os.makedirs(path, exist_ok=True)
+    flat = modelio._flatten_params(jax.device_get(jax.tree_util.tree_map(
+        lambda x: np.asarray(x),
+        {'params': state.params, 'variables': dict(state.variables)})))
+    np.savez(os.path.join(path, 'state.npz'), **flat)
+    with open(os.path.join(path, 'opt_state.pkl'), 'wb') as f:
+        pickle.dump({'opt_state': jax.device_get(state.opt_state),
+                     'step': int(state.step),
+                     'extra': extra}, f)
+
+
+def restore_checkpoint(path, state: TrainState):
+    """
+    Restore a checkpoint saved by `save_checkpoint` into an existing
+    TrainState template (same model/optimizer). Returns (state, extra).
+    """
+    import os
+    import pickle
+
+    from flax.core import FrozenDict
+
+    from neurite_tpu import modelio
+
+    flat = dict(np.load(os.path.join(path, 'state.npz')))
+    tree = modelio._unflatten_params(flat)
+    with open(os.path.join(path, 'opt_state.pkl'), 'rb') as f:
+        aux = pickle.load(f)
+
+    def conform(template, loaded):
+        """Match the loaded nested dict onto the template pytree structure."""
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        out = []
+        for pathkeys, leaf in leaves:
+            node = loaded
+            for k in pathkeys:
+                key = getattr(k, 'key', getattr(k, 'name', None))
+                node = node[str(key)]
+            out.append(jnp.asarray(node))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    params = conform(state.params, tree['params'])
+    variables = conform(dict(state.variables), tree.get('variables', {})) \
+        if dict(state.variables) else state.variables
+    opt_state = jax.tree_util.tree_map(jnp.asarray, aux['opt_state'],
+                                       is_leaf=lambda x: isinstance(
+                                           x, (np.ndarray, jnp.ndarray,
+                                               float, int)))
+    new_state = state.replace(params=params,
+                              variables=FrozenDict(variables)
+                              if not isinstance(variables, FrozenDict)
+                              else variables,
+                              opt_state=opt_state,
+                              step=jnp.asarray(aux['step']))
+    return new_state, aux.get('extra')

@@ -265,3 +265,41 @@ def test_checked_train_step_catches_nan():
                    jax.random.PRNGKey(1))
     with pytest.raises(Exception):
         err2.throw()
+
+
+def test_full_checkpoint_resume(tmp_path):
+    """save_checkpoint/restore_checkpoint resumes training exactly."""
+    import optax
+    import neurite_tpu as ne
+    from neurite_tpu import training
+
+    model = ne.models.unet(nb_features=4, input_shape=(8, 8, 1), nb_levels=2,
+                           conv_size=3, nb_labels=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 1)),
+                    jnp.float32)
+    y = jax.nn.one_hot(jnp.asarray(
+        np.random.default_rng(1).integers(0, 2, size=(2, 8, 8))), 2)
+    state = training.create_train_state(model, jax.random.PRNGKey(0), x,
+                                        optax.adam(1e-3))
+    step = jax.jit(training.make_train_step(
+        ne.losses.SoftDice(check_input_limits=False).loss))
+
+    for i in range(3):
+        state, _ = step(state, {'x': x, 'y': y}, jax.random.PRNGKey(i))
+
+    ckpt = str(tmp_path / 'ckpt')
+    training.save_checkpoint(ckpt, state, extra={'sampler_pos': 42})
+
+    # continue two branches: live state vs restored state — must match
+    live = state
+    restored, extra = training.restore_checkpoint(ckpt, state)
+    assert extra == {'sampler_pos': 42}
+    assert int(restored.step) == int(live.step)
+    for i in range(3, 6):
+        live, ml = step(live, {'x': x, 'y': y}, jax.random.PRNGKey(i))
+        restored, mr = step(restored, {'x': x, 'y': y}, jax.random.PRNGKey(i))
+        np.testing.assert_allclose(float(ml['loss']), float(mr['loss']),
+                                   rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(live.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
