@@ -334,6 +334,7 @@ class UNet(nn.Module):
     batch_norm: Optional[int] = None
     param_dtype: Any = jnp.float32
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
+    space_to_depth: int = 1  # fold 2^N spatial blocks into channels (TPU perf)
 
     @nn.compact
     def __call__(self, x, prior=None, training=False):
@@ -345,6 +346,16 @@ class UNet(nn.Module):
                         'spatial dimensions must match if multiple inputs are '
                         f'provided, but got shapes {spatial} and {xi.shape[1:-1]}')
             x = jnp.concatenate(x, axis=-1)
+
+        # space-to-depth variant (TPU perf, NOT reference-parity): fold
+        # block^N spatial tiles into channels so small-channel 3-D convs fill
+        # the 128-wide vector lanes; logits unfold before the prediction
+        # activation. See docs/DESIGN.md.
+        s2d = int(self.space_to_depth)
+        ndims_in = x.ndim - 2
+        if s2d > 1:
+            from neurite_tpu.utils import core as _core
+            x = _core.space_to_depth(x, s2d)
 
         nb_levels = (len(self.nb_features)
                      if isinstance(self.nb_features, (list, tuple))
@@ -366,19 +377,34 @@ class UNet(nn.Module):
             batch_norm=self.batch_norm, param_dtype=self.param_dtype,
             dtype=self.dtype, name='enc')(x, training=training)
 
+        dec_labels = (self.nb_labels * s2d ** ndims_in if s2d > 1
+                      else self.nb_labels)
+        dec_final_act = 'linear' if (self.add_prior_layer or s2d > 1) \
+            else self.final_pred_activation
         pred = ConvDec(
             nb_features=self.nb_features, nb_levels=nb_levels,
-            conv_size=self.conv_size, nb_labels=self.nb_labels,
+            conv_size=self.conv_size, nb_labels=dec_labels,
             feat_mult=self.feat_mult, pool_size=self.pool_size,
             use_skip_connections=True, padding=self.padding,
             dilation_rate_mult=self.dilation_rate_mult,
             activation=self.activation, use_residuals=self.use_residuals,
-            final_pred_activation=('linear' if self.add_prior_layer
-                                   else self.final_pred_activation),
+            final_pred_activation=dec_final_act,
             nb_conv_per_level=nb_conv, layer_nb_feats=dec_lnf,
             batch_norm=self.batch_norm, conv_dropout=self.conv_dropout,
             param_dtype=self.param_dtype, dtype=self.dtype, name='dec')(
                 x, skips=skips, training=training)
+
+        if s2d > 1:
+            from neurite_tpu.utils import core as _core
+            pred = _core.depth_to_space(pred, s2d)
+            if not self.add_prior_layer:
+                act = self.final_pred_activation
+                if act == 'softmax':
+                    pred = jax.nn.softmax(pred, axis=-1)
+                elif act not in (None, 'linear'):
+                    from neurite_tpu.models.unet import get_activation
+                    fn = get_activation(act)
+                    pred = fn(pred) if fn is not None else pred
 
         if self.add_prior_layer:
             assert prior is not None, 'add_prior_layer requires a prior input'
@@ -397,7 +423,8 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
          padding='same', dilation_rate_mult=1, activation='elu',
          use_residuals=False, final_pred_activation='softmax',
          nb_conv_per_level=1, add_prior_layer=False, add_prior_layer_reg=0,
-         layer_nb_feats=None, conv_dropout=0, batch_norm=None, dtype=None):
+         layer_nb_feats=None, conv_dropout=0, batch_norm=None, dtype=None,
+         space_to_depth=1):
     """
     Build a UNet module (reference `neurite/tf/models.py:88-246` knob set).
 
@@ -416,7 +443,8 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 nb_conv_per_level=nb_conv_per_level,
                 add_prior_layer=add_prior_layer,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
-                batch_norm=batch_norm, dtype=dtype)
+                batch_norm=batch_norm, dtype=dtype,
+                space_to_depth=space_to_depth)
 
 
 def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
@@ -437,7 +465,8 @@ def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 add_prior_layer=add_prior_layer,
                 add_prior_layer_reg=add_prior_layer_reg,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
-                batch_norm=batch_norm, dtype=dtype)
+                batch_norm=batch_norm, dtype=dtype,
+                space_to_depth=space_to_depth)
 
 
 def conv_enc(nb_features, input_shape, nb_levels, conv_size, name=None,

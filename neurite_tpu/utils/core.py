@@ -32,6 +32,7 @@ __all__ = [
     'batch_channel_flatten', 'flatten_batch_channel', 'flatten_axes',
     'fftn', 'ifftn', 'fftshift', 'ifftshift',
     'complex_to_channels', 'channels_to_complex', 'batch_gather',
+    'space_to_depth', 'depth_to_space',
     'as_key',
 ]
 
@@ -802,3 +803,59 @@ def batch_gather(reference, indices):
     """
     indices = jnp.asarray(indices)
     return jax.vmap(lambda r, i: r[i])(reference, indices)
+
+
+def space_to_depth(x, block=2, batched=True):
+    """
+    Fold `block`-sized spatial tiles into channels:
+    [B, *spatial, C] -> [B, *spatial/block, C*block^N].
+
+    TPU-native addition (no reference counterpart): 3-D convs with few
+    channels waste the 128-lane vector width; folding space into channels
+    fills the lanes (see docs/DESIGN.md).
+    """
+    x = jnp.asarray(x)
+    nd = x.ndim - 1 - int(batched)
+    lead = 1 if batched else 0
+    shape = x.shape
+    for d in range(nd):
+        assert shape[lead + d] % block == 0, \
+            f'spatial dim {shape[lead + d]} not divisible by block {block}'
+    # split each spatial dim, then move all block factors next to channels
+    split = ([shape[0]] if batched else [])
+    for d in range(nd):
+        split += [shape[lead + d] // block, block]
+    split += [shape[-1]]
+    x = x.reshape(split)
+    # axes: [B] + [s0, b0, s1, b1, ...] + [C] -> [B] + [s...] + [b..., C]
+    perm = ([0] if batched else [])
+    perm += [lead + 2 * d for d in range(nd)]
+    perm += [lead + 2 * d + 1 for d in range(nd)]
+    perm += [x.ndim - 1]
+    x = jnp.transpose(x, perm)
+    out_spatial = [shape[lead + d] // block for d in range(nd)]
+    lead_shape = [shape[0]] if batched else []
+    return x.reshape(lead_shape + out_spatial + [shape[-1] * block ** nd])
+
+
+def depth_to_space(x, block=2, batched=True):
+    """Inverse of `space_to_depth`."""
+    x = jnp.asarray(x)
+    nd = x.ndim - 1 - int(batched)
+    lead = 1 if batched else 0
+    shape = x.shape
+    c_out = shape[-1] // block ** nd
+    assert shape[-1] == c_out * block ** nd, \
+        f'channels {shape[-1]} not divisible by block^{nd}'
+    split = ([shape[0]] if batched else [])
+    split += [shape[lead + d] for d in range(nd)]
+    split += [block] * nd + [c_out]
+    x = x.reshape(split)
+    perm = ([0] if batched else [])
+    for d in range(nd):
+        perm += [lead + d, lead + nd + d]
+    perm += [x.ndim - 1]
+    x = jnp.transpose(x, perm)
+    lead_shape = [shape[0]] if batched else []
+    out_spatial = [shape[lead + d] * block for d in range(nd)]
+    return x.reshape(lead_shape + out_spatial + [c_out])

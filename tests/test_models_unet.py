@@ -298,3 +298,22 @@ def test_unet_bf16_compute_dtype():
     # softmax outputs in [0,1]; bf16 rounding stays within a few 1e-2
     np.testing.assert_allclose(np.asarray(out16, np.float32),
                                np.asarray(out32), atol=0.05)
+
+
+def test_unet_space_to_depth_variant():
+    """s2d UNet: same output shape/softmax semantics, trains on folded grid."""
+    import neurite_tpu as ne
+    model = ne.models.unet(nb_features=4, input_shape=(16, 16, 16, 1),
+                           nb_levels=2, conv_size=3, nb_labels=3,
+                           space_to_depth=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)),
+                    jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x)
+    assert out.shape == (1, 16, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
+    # gradient flows
+    g = jax.grad(lambda p: jnp.sum(model.apply({'params': p}, x) ** 2))(
+        v['params'])
+    assert any(float(jnp.abs(leaf).max()) > 0
+               for leaf in jax.tree_util.tree_leaves(g))

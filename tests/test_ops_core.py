@@ -465,3 +465,27 @@ class TestRebaseLab:
         rebased = to_ind[labs]
         np.testing.assert_array_equal(rebased, [0, 1, 2, 1, 0])
         np.testing.assert_array_equal(to_lab[rebased], labs)
+
+
+class TestSpaceToDepth:
+    def test_roundtrip(self):
+        rng_l = np.random.default_rng(0)
+        for batched in (True, False):
+            for shape in [(8, 6), (4, 8, 6)]:
+                full = ((2,) if batched else ()) + shape + (3,)
+                x = jnp.asarray(rng_l.normal(size=full), jnp.float32)
+                f = ne.utils.space_to_depth(x, 2, batched=batched)
+                assert f.shape[-1] == 3 * 2 ** len(shape)
+                back = ne.utils.depth_to_space(f, 2, batched=batched)
+                np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    def test_block_content(self):
+        """Channel groups hold the block elements in index order."""
+        x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+        f = ne.utils.space_to_depth(x, 2)
+        # first output voxel covers input rows 0-1, cols 0-1
+        np.testing.assert_allclose(np.asarray(f[0, 0, 0]), [0., 1., 4., 5.])
+
+    def test_indivisible_raises(self):
+        with pytest.raises(AssertionError):
+            ne.utils.space_to_depth(jnp.zeros((1, 5, 4, 1)), 2)
