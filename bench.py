@@ -13,6 +13,11 @@ import os
 import sys
 import time
 
+# persistent compile cache: repeated bench runs skip the multi-minute
+# remote XLA compiles (harmless elsewhere)
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,6 +128,30 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    # space-to-depth UNet variant (docs/DESIGN.md): same volumes, lane-filling
+    # folded grid — measured 14x the parity model at s=4 on v5e
+    def s2d_rate(s2d):
+        m2 = ne.models.unet(
+            nb_features=nb_feats, input_shape=(vol, vol, vol, 1),
+            nb_levels=nb_levels if s2d <= 2 else nb_levels - 1, conv_size=3,
+            nb_labels=nb_labels, feat_mult=2, nb_conv_per_level=2,
+            dtype=dtype, space_to_depth=s2d)
+        st = training.create_train_state(m2, jax.random.PRNGKey(0), x,
+                                         optax.adam(1e-3))
+        stp = jax.jit(training.make_train_step(loss_fn), donate_argnums=(0,))
+        st, mm = stp(st, (x, y), jax.random.PRNGKey(1))
+        _ = float(mm['loss'])
+
+        def run2(n, st):
+            t0 = time.time()
+            for i in range(n):
+                st, mm = stp(st, (x, y), jax.random.PRNGKey(i))
+            _ = float(mm['loss'])
+            return time.time() - t0, st
+        ta, st = run2(10, st)
+        tb, st = run2(60, st)
+        return batch / ((tb - ta) / 50)
+
     wv = 128 if on_tpu else 32
     wvol = jnp.asarray(rng.normal(size=(wv, wv, wv, 1)), jnp.float32)
     base_grid = jnp.stack(ne.utils.volshape_to_ndgrid((wv,) * 3),
@@ -131,9 +160,13 @@ def main():
     loc = base_grid + shift
     warp_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(v, loc), wvol, 1, 2))
+    s2d4_rate = with_deadline(lambda: s2d_rate(4), 300) if on_tpu else None
+    # resize is ~2ms — needs long chains to resolve above dispatch noise
     resize_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.resize(ne.utils.resize(v, 2.),
-                                                    0.5), wvol, 1, 3))
+                                                    0.5), wvol, 2, 22))
+    if resize_s is not None and resize_s <= 0:
+        resize_s = None  # noise exceeded signal; omit rather than mislead
 
     result = {
         'metric': f'3D UNet-{vol}^3 train step volumes/sec/chip',
@@ -149,6 +182,8 @@ def main():
         'resize_up2_down_gvoxps': (round(((2 * wv) ** 3 + wv ** 3)
                                          / resize_s / 1e9, 3)
                                    if resize_s else None),
+        's2d4_unet_vols_per_sec': (round(s2d4_rate, 3)
+                                   if s2d4_rate else None),
     }
     print(json.dumps(result))
 

@@ -180,6 +180,7 @@ class AE(nn.Module):
     include_mu_shift_layer: bool = False
     final_pred_activation: Any = 'softmax'
     do_vae: bool = False
+    dtype: Any = None  # computation dtype (bf16 = MXU fast path)
 
     @nn.compact
     def __call__(self, x, prior=None, training=False, return_parts=False,
@@ -218,7 +219,7 @@ class AE(nn.Module):
                 use_residuals=self.use_residuals,
                 nb_conv_per_level=self.nb_conv_per_level,
                 conv_dropout=self.conv_dropout, batch_norm=self.batch_norm,
-                name='enc')(x, training=training)
+                dtype=self.dtype, name='enc')(x, training=training)
             if mode == 'encode':
                 return mid(enc_out, training=training, mode='encode')
             mid_out = mid(enc_out, training=training)
@@ -253,7 +254,7 @@ def ae(nb_features, input_shape, nb_levels, conv_size, nb_labels, enc_size,
        enc_lambda_layers=None, add_prior_layer=False, add_prior_layer_reg=0,
        use_logp=True, conv_dropout=0, include_mu_shift_layer=False,
        single_model=False, final_pred_activation='softmax', src=None,
-       src_input=None, do_vae=False):
+       src_input=None, do_vae=False, dtype=None):
     """Build an AE module (reference `models.py:249-375` knob set)."""
     del name, prefix, add_prior_layer_reg, input_shape, src, src_input
     del single_model  # flax module always exposes parts via return_parts
@@ -269,7 +270,8 @@ def ae(nb_features, input_shape, nb_levels, conv_size, nb_labels, enc_size,
               add_prior_layer=add_prior_layer, use_logp=use_logp,
               conv_dropout=conv_dropout,
               include_mu_shift_layer=include_mu_shift_layer,
-              final_pred_activation=final_pred_activation, do_vae=do_vae)
+              final_pred_activation=final_pred_activation, do_vae=do_vae,
+              dtype=dtype)
 
 
 def single_ae(enc_size, input_shape, name='single_ae', prefix=None,
