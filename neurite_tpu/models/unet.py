@@ -52,6 +52,45 @@ def _conv_opts(ndims, conv_size, padding, dilation):
                 kernel_dilation=(int(dilation),) * ndims)
 
 
+class Im2ColConv(nn.Module):
+    """
+    nn.Conv-compatible SAME/stride-1 convolution via tap-stacked matmul
+    (`neurite_tpu.ops.im2col`): K = k^N * C_in tiles the MXU where native
+    small-channel convs pad to 128 lanes. Same parameter names/shapes as
+    nn.Conv, so checkpoints are interchangeable.
+    """
+    features: int
+    kernel_size: Any = None
+    param_dtype: Any = jnp.float32
+    dtype: Any = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from neurite_tpu.ops.im2col import conv_im2col
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (*self.kernel_size, cin, self.features),
+                            self.param_dtype)
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype) \
+            if self.use_bias else None
+        dt = self.dtype or x.dtype
+        return conv_im2col(x.astype(dt), kernel.astype(dt),
+                           None if bias is None else bias.astype(dt))
+
+
+def _conv_layer(conv_impl, nf, opts, param_dtype, dtype, name):
+    """Pick the conv implementation; im2col requires SAME pad + dilation 1."""
+    same = str(opts.get('padding', '')).upper() == 'SAME'
+    undilated = all(d == 1 for d in opts.get('kernel_dilation', (1,)))
+    if conv_impl == 'im2col' and same and undilated:
+        return Im2ColConv(nf, kernel_size=opts['kernel_size'],
+                          param_dtype=param_dtype, dtype=dtype, name=name)
+    return nn.Conv(nf, **opts, param_dtype=param_dtype, dtype=dtype,
+                   name=name)
+
+
 def _level_feats(nb_features, feat_mult, level, nb_conv_per_level,
                  layer_nb_feats, lf_offset):
     """
@@ -119,6 +158,7 @@ class ConvEnc(nn.Module):
     batch_norm: Optional[int] = None
     param_dtype: Any = jnp.float32
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
+    conv_impl: str = 'native'  # 'native' (lax conv) or 'im2col' (big-K matmul)
 
     @nn.compact
     def __call__(self, x, training=False):
@@ -141,9 +181,9 @@ class ConvEnc(nn.Module):
 
             for conv, nf in enumerate(feats):
                 last = conv == len(feats) - 1
-                x = nn.Conv(nf, **opts, param_dtype=self.param_dtype,
-                            dtype=self.dtype,
-                            name=f'conv_downarm_{level}_{conv}')(x)
+                x = _conv_layer(self.conv_impl, nf, opts,
+                                self.param_dtype, self.dtype,
+                                f'conv_downarm_{level}_{conv}')(x)
                 # last conv of a residual level has no activation (ref :1383-1388)
                 if not (last and self.use_residuals):
                     x = act(x)
@@ -159,10 +199,9 @@ class ConvEnc(nn.Module):
                 nb_out = convarm.shape[-1]
                 add_layer = lvl_first
                 if nb_in > 1 and nb_out > 1 and nb_in != nb_out:
-                    add_layer = nn.Conv(feats[-1], **opts,
-                                        param_dtype=self.param_dtype,
-                                        dtype=self.dtype,
-                                        name=f'expand_down_merge_{level}')(lvl_first)
+                    add_layer = _conv_layer(
+                        self.conv_impl, feats[-1], opts, self.param_dtype,
+                        self.dtype, f'expand_down_merge_{level}')(lvl_first)
                     add_layer = act(add_layer)
                     if self.conv_dropout > 0:
                         add_layer = nn.Dropout(
@@ -210,6 +249,7 @@ class ConvDec(nn.Module):
     conv_dropout: float = 0
     param_dtype: Any = jnp.float32
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
+    conv_impl: str = 'native'  # 'native' (lax conv) or 'im2col' (big-K matmul)
 
     @nn.compact
     def __call__(self, x, skips=None, training=False):
@@ -241,9 +281,9 @@ class ConvDec(nn.Module):
 
             for conv, nf in enumerate(feats):
                 last = conv == len(feats) - 1
-                x = nn.Conv(nf, **opts, param_dtype=self.param_dtype,
-                            dtype=self.dtype,
-                            name=f'conv_uparm_{nb_levels + level}_{conv}')(x)
+                x = _conv_layer(self.conv_impl, nf, opts,
+                                self.param_dtype, self.dtype,
+                                f'conv_uparm_{nb_levels + level}_{conv}')(x)
                 if not (last and self.use_residuals):
                     x = act(x)
                 if self.conv_dropout > 0:
@@ -256,10 +296,9 @@ class ConvDec(nn.Module):
                 nb_in = add_layer.shape[-1]
                 nb_out = x.shape[-1]
                 if nb_in > 1 and nb_out > 1 and nb_in != nb_out:
-                    add_layer = nn.Conv(feats[-1], **opts,
-                                        param_dtype=self.param_dtype,
-                                        dtype=self.dtype,
-                                        name=f'expand_up_merge_{level}')(add_layer)
+                    add_layer = _conv_layer(
+                        self.conv_impl, feats[-1], opts, self.param_dtype,
+                        self.dtype, f'expand_up_merge_{level}')(add_layer)
                     add_layer = act(add_layer)
                 x = act(x + add_layer)
 
@@ -335,6 +374,7 @@ class UNet(nn.Module):
     param_dtype: Any = jnp.float32
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
     space_to_depth: int = 1  # fold 2^N spatial blocks into channels (TPU perf)
+    conv_impl: str = 'native'  # 'native' or 'im2col' (see Im2ColConv)
 
     @nn.compact
     def __call__(self, x, prior=None, training=False):
@@ -375,7 +415,8 @@ class UNet(nn.Module):
             use_residuals=self.use_residuals,
             nb_conv_per_level=nb_conv, conv_dropout=self.conv_dropout,
             batch_norm=self.batch_norm, param_dtype=self.param_dtype,
-            dtype=self.dtype, name='enc')(x, training=training)
+            dtype=self.dtype, conv_impl=self.conv_impl,
+            name='enc')(x, training=training)
 
         dec_labels = (self.nb_labels * s2d ** ndims_in if s2d > 1
                       else self.nb_labels)
@@ -391,7 +432,8 @@ class UNet(nn.Module):
             final_pred_activation=dec_final_act,
             nb_conv_per_level=nb_conv, layer_nb_feats=dec_lnf,
             batch_norm=self.batch_norm, conv_dropout=self.conv_dropout,
-            param_dtype=self.param_dtype, dtype=self.dtype, name='dec')(
+            param_dtype=self.param_dtype, dtype=self.dtype,
+            conv_impl=self.conv_impl, name='dec')(
                 x, skips=skips, training=training)
 
         if s2d > 1:
@@ -424,7 +466,7 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
          use_residuals=False, final_pred_activation='softmax',
          nb_conv_per_level=1, add_prior_layer=False, add_prior_layer_reg=0,
          layer_nb_feats=None, conv_dropout=0, batch_norm=None, dtype=None,
-         space_to_depth=1):
+         space_to_depth=1, conv_impl='native'):
     """
     Build a UNet module (reference `neurite/tf/models.py:88-246` knob set).
 
@@ -444,7 +486,7 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 add_prior_layer=add_prior_layer,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
                 batch_norm=batch_norm, dtype=dtype,
-                space_to_depth=space_to_depth)
+                space_to_depth=space_to_depth, conv_impl=conv_impl)
 
 
 def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
@@ -466,7 +508,7 @@ def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 add_prior_layer_reg=add_prior_layer_reg,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
                 batch_norm=batch_norm, dtype=dtype,
-                space_to_depth=space_to_depth)
+                space_to_depth=space_to_depth, conv_impl=conv_impl)
 
 
 def conv_enc(nb_features, input_shape, nb_levels, conv_size, name=None,

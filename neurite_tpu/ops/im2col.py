@@ -1,0 +1,58 @@
+"""
+im2col convolution: small-channel N-D conv as one big-K matmul.
+
+XLA's native conv3d pads the channel contraction to the 128-lane width, so
+C<=16 convs waste most of the MXU. Stacking the k^N taps into the channel
+axis makes the contraction K = k^N * C (e.g. 27C), which tiles the MXU
+properly. Measured on v5e at 128^3 (fwd+bwd per conv): 1->16: 0.26ms vs
+6.67ms native (26x); 16->16: 5.85ms vs 8.72ms (1.5x). Identical math and
+parameters to `nn.Conv` (SAME padding, stride 1) — parity-tested.
+
+Caveat: the backward (transpose of the tap-concat) compiles very slowly on
+remote-compile runtimes — this is an opt-in (`unet(conv_impl='im2col')`).
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv_im2col(x, kernel, bias=None, precision=None):
+    """
+    SAME-padding stride-1 N-D convolution via tap-stacked matmul.
+
+    x: [B, *spatial, C]; kernel: [*k, C, F] (nn.Conv layout); bias: [F].
+    """
+    x = jnp.asarray(x)
+    kernel = jnp.asarray(kernel)
+    ndims = kernel.ndim - 2
+    ks = kernel.shape[:ndims]
+    cin = kernel.shape[-2]
+    f = kernel.shape[-1]
+    assert x.shape[-1] == cin, (x.shape, kernel.shape)
+
+    pads = [(0, 0)]
+    for k in ks:
+        pads.append(((k - 1) // 2, k // 2))
+    pads.append((0, 0))
+    xp = jnp.pad(x, pads)
+
+    spatial = x.shape[1:-1]
+    slabs = []
+    for offs in itertools.product(*[range(k) for k in ks]):
+        start = (0,) + offs + (0,)
+        size = (x.shape[0],) + spatial + (cin,)
+        slabs.append(jax.lax.dynamic_slice(xp, start, size))
+    pat = jnp.concatenate(slabs, axis=-1)          # [B, *spatial, k^N * C]
+
+    wf = kernel.reshape(int(np.prod(ks)) * cin, f)
+    if pat.dtype != wf.dtype:
+        wf = wf.astype(pat.dtype)
+    y = jax.lax.dot_general(
+        pat, wf, dimension_numbers=(((pat.ndim - 1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=pat.dtype)
+    if bias is not None:
+        y = y + jnp.asarray(bias, y.dtype)
+    return y

@@ -317,3 +317,32 @@ def test_unet_space_to_depth_variant():
         v['params'])
     assert any(float(jnp.abs(leaf).max()) > 0
                for leaf in jax.tree_util.tree_leaves(g))
+
+
+def test_unet_im2col_matches_native():
+    """conv_impl='im2col' must produce the same outputs from the same params."""
+    import neurite_tpu as ne
+    kwargs = dict(nb_features=4, input_shape=(16, 16, 16, 1), nb_levels=2,
+                  conv_size=3, nb_labels=2)
+    m_nat = ne.models.unet(**kwargs)
+    m_i2c = ne.models.unet(**kwargs, conv_impl='im2col')
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)),
+                    jnp.float32)
+    v = m_nat.init(jax.random.PRNGKey(0), x)
+    # identical param structure -> same checkpoint loads in both
+    v2 = m_i2c.init(jax.random.PRNGKey(0), x)
+    s1 = jax.tree_util.tree_structure(v)
+    s2 = jax.tree_util.tree_structure(v2)
+    assert s1 == s2
+    out_nat = m_nat.apply(v, x)
+    out_i2c = m_i2c.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_i2c), np.asarray(out_nat),
+                               atol=1e-4)
+    g = jax.grad(lambda p: jnp.sum(m_i2c.apply({'params': p}, x) ** 2))(
+        v['params'])
+    gn = jax.grad(lambda p: jnp.sum(m_nat.apply({'params': p}, x) ** 2))(
+        v['params'])
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
