@@ -44,10 +44,14 @@ def main():
     # to measure the full-precision path instead)
     dtype = {'bfloat16': jnp.bfloat16, 'float32': None}[
         os.environ.get('BENCH_DTYPE', 'bfloat16')]
+    # im2col conv for the small-channel entries (identical math/params;
+    # measured +10%% at 128^3 batch 2 — docs/DESIGN.md)
+    conv_impl = os.environ.get('BENCH_CONV_IMPL',
+                               'im2col' if on_tpu else 'native')
     model = ne.models.unet(
         nb_features=nb_feats, input_shape=(vol, vol, vol, 1),
         nb_levels=nb_levels, conv_size=3, nb_labels=nb_labels, feat_mult=2,
-        nb_conv_per_level=2, dtype=dtype)
+        nb_conv_per_level=2, dtype=dtype, conv_impl=conv_impl)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, vol, vol, vol, 1)), jnp.float32)

@@ -19,12 +19,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def conv_im2col(x, kernel, bias=None, precision=None):
+def conv_im2col(x, kernel, bias=None, precision=None, remat=True):
     """
     SAME-padding stride-1 N-D convolution via tap-stacked matmul.
 
     x: [B, *spatial, C]; kernel: [*k, C, F] (nn.Conv layout); bias: [F].
+    remat (default True) rematerializes the k^N-tap patch stack in the
+    backward pass instead of saving it — the stack is k^N times the input
+    (3.5 GB at 128^3 C=16 bf16) and recomputing it is just slices.
     """
+    if remat:
+        fn = jax.checkpoint(
+            lambda xx, kk, bb: conv_im2col(xx, kk, bb, precision=precision,
+                                           remat=False))
+        return fn(x, kernel, bias)
     x = jnp.asarray(x)
     kernel = jnp.asarray(kernel)
     ndims = kernel.ndim - 2
