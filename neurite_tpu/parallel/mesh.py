@@ -101,3 +101,27 @@ def make_sharded_train_step(train_step, mesh: Mesh,
         return jitted(state, batch, rng)
 
     return run
+
+
+def shard_batch_multihost(batch, mesh: Mesh, space_axis: Optional[int] = 1):
+    """
+    Multi-host sharded data feed: each process provides its LOCAL slice of
+    the global batch; `jax.make_array_from_process_local_data` assembles the
+    global sharded array (SURVEY.md §5.8 — per-host generators feeding their
+    addressable devices). On a single process this equals `shard_batch`.
+
+    The local batch's leading axis is this process's share of the global
+    batch (global_batch = local_batch * process_count along 'data').
+    """
+    n_proc = jax.process_count()
+
+    def _place(x):
+        x = np.asarray(x)
+        sharding = batch_sharding(mesh, x.ndim, space_axis)
+        if n_proc == 1:
+            return jax.device_put(jnp.asarray(x), sharding)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return jax.tree_util.tree_map(_place, batch)

@@ -88,3 +88,14 @@ def test_spatially_sharded_interpn():
     got = jax.jit(f)(vs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_shard_batch_multihost_single_process():
+    """Single-process path must equal shard_batch placement."""
+    from neurite_tpu import parallel
+    mesh = parallel.create_mesh(data=4, space=2)
+    x = np.random.default_rng(0).normal(size=(8, 6, 6, 1)).astype(np.float32)
+    a = parallel.shard_batch({'x': x}, mesh)['x']
+    b = parallel.shard_batch_multihost({'x': x}, mesh)['x']
+    assert a.sharding == b.sharding
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
