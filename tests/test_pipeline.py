@@ -303,3 +303,77 @@ def test_full_checkpoint_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(live.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestMoreGenerators:
+    @pytest.fixture
+    def catdirs(self, tmp_path):
+        rng_l = np.random.default_rng(5)
+        for cls in ('a', 'b'):
+            d = tmp_path / 'cats' / cls
+            d.mkdir(parents=True)
+            for i in range(3):
+                np.savez(d / f'{cls}{i}.npz',
+                         vol_data=rng_l.normal(size=(6, 6, 6)))
+        return str(tmp_path / 'cats')
+
+    def test_vol_cat(self, catdirs):
+        import neurite_tpu as ne
+        gen = ne.generators.vol_cat(catdirs, vol_rand_seed=0)
+        seen = np.zeros(2)
+        for _ in range(6):
+            data, z = next(gen)
+            assert z.shape == (1, 2) and z.sum() == 1
+            assert data.dtype == np.float32
+            seen += z[0]
+        assert seen.sum() == 6 and (seen > 0).all()
+
+    @pytest.fixture
+    def srdir(self, tmp_path):
+        d = tmp_path / 'sr'
+        d.mkdir()
+        rng_l = np.random.default_rng(6)
+        for i in range(2):
+            np.savez(d / f'v{i}.npz', vol_data=rng_l.normal(size=(8, 8, 20)))
+        return str(d)
+
+    def test_vol_sr_slices_modes(self, srdir):
+        import neurite_tpu as ne
+        # random starts
+        gen = ne.generators.vol_sr_slices(srdir, nb_input_slices=3,
+                                          nb_slice_spacing=2, batch_size=2,
+                                          vol_rand_seed=0)
+        x, y = next(gen)
+        # subvol = (3-1)*3+1 = 7 slices dense; input takes every 3rd -> 3
+        assert x.shape == (2, 8, 8, 3)
+        assert y.shape == (2, 64, 7)
+        # sequential mode
+        gen2 = ne.generators.vol_sr_slices(srdir, nb_input_slices=3,
+                                           nb_slice_spacing=2, batch_size=2,
+                                           rand_slices=False, vol_rand_seed=0)
+        x2, y2 = next(gen2)
+        assert x2.shape == (2, 8, 8, 3)
+        # simulated sparse volume mode
+        gen3 = ne.generators.vol_sr_slices(
+            srdir, nb_input_slices=3, nb_slice_spacing=2, batch_size=2,
+            simulate_whole_sparse_vol=True, vol_rand_seed=0)
+        x3, y3 = next(gen3)
+        assert x3.shape[0] == 2
+
+    def test_img_seg(self, tmp_path):
+        from PIL import Image
+        import neurite_tpu as ne
+        rng_l = np.random.default_rng(7)
+        for sub, binary in (('img', False), ('seg', True)):
+            d = tmp_path / sub
+            d.mkdir()
+            for i in range(2):
+                arr = (rng_l.uniform(0, 2 if binary else 255,
+                                     size=(16, 16)).astype(np.uint8))
+                Image.fromarray(arr).save(d / f'f{i}.png')
+        gen = ne.generators.img_seg(str(tmp_path / 'img'),
+                                    str(tmp_path / 'seg'), batch_size=2)
+        x, y = next(gen)
+        assert x.shape[0] == 2
+        assert y.shape[-1] == 2           # one-hot binary seg
+        assert 0 <= np.min(x) and np.max(x) <= 1.0
