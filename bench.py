@@ -32,9 +32,9 @@ def main():
     vol = 128 if on_tpu else 32
     nb_feats = 16
     nb_levels = 4 if on_tpu else 3
-    # batch 2 measured ~9% more volumes/sec/chip than batch 1 (v5e); batch 4
-    # exceeds HBM at this config
-    batch = int(os.environ.get('BENCH_BATCH', 2 if on_tpu else 1))
+    # with z-decomposed convs batch 4 fits HBM and measures best
+    # (15.5 vol/s vs 13.9 at batch 2 on v5e)
+    batch = int(os.environ.get('BENCH_BATCH', 4 if on_tpu else 1))
     nb_labels = 4
 
     import neurite_tpu as ne
@@ -44,10 +44,9 @@ def main():
     # to measure the full-precision path instead)
     dtype = {'bfloat16': jnp.bfloat16, 'float32': None}[
         os.environ.get('BENCH_DTYPE', 'bfloat16')]
-    # im2col conv for the small-channel entries (identical math/params;
-    # measured +10%% at 128^3 batch 2 — docs/DESIGN.md)
-    conv_impl = os.environ.get('BENCH_CONV_IMPL',
-                               'im2col' if on_tpu else 'native')
+    # 'auto' = z-decomposed 2-D convs for the 3-D SAME convs: identical
+    # math/params, ~2x the native-conv3d step (docs/DESIGN.md)
+    conv_impl = os.environ.get('BENCH_CONV_IMPL', 'auto')
     model = ne.models.unet(
         nb_features=nb_feats, input_shape=(vol, vol, vol, 1),
         nb_levels=nb_levels, conv_size=3, nb_labels=nb_labels, feat_mult=2,

@@ -97,13 +97,50 @@ class Im2ColConv(nn.Module):
                            None if bias is None else bias.astype(dt))
 
 
+class ZDecompConv(nn.Module):
+    """
+    nn.Conv-compatible 3-D SAME/stride-1 convolution via z-decomposed 2-D
+    convs (`neurite_tpu.ops.zdecomp`): XLA's conv2d path is ~13x faster than
+    conv3d at these shapes on TPU. Same parameter names/shapes as nn.Conv.
+    """
+    features: int
+    kernel_size: Any = None
+    param_dtype: Any = jnp.float32
+    dtype: Any = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from neurite_tpu.ops.zdecomp import conv_z2d
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (*self.kernel_size, cin, self.features),
+                            self.param_dtype)
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype) \
+            if self.use_bias else None
+        dt = self.dtype or x.dtype
+        return conv_z2d(x.astype(dt), kernel.astype(dt),
+                        None if bias is None else bias.astype(dt))
+
+
 def _conv_layer(conv_impl, nf, opts, param_dtype, dtype, name):
-    """Pick the conv implementation; im2col requires SAME pad + dilation 1."""
+    """
+    Pick the conv implementation. 'auto' (default) uses the z-decomposed
+    2-D form for 3-D SAME/undilated convs — identical math and parameters,
+    13x faster than native conv3d on v5e (ops/zdecomp.py). 'im2col' adds
+    tap-stacked matmuls for tiny channel counts. Everything else (2-D,
+    dilated, valid-padded) uses nn.Conv.
+    """
     same = str(opts.get('padding', '')).upper() == 'SAME'
     undilated = all(d == 1 for d in opts.get('kernel_dilation', (1,)))
+    is_3d = len(opts['kernel_size']) == 3
     if conv_impl == 'im2col' and same and undilated:
         return Im2ColConv(nf, kernel_size=opts['kernel_size'],
                           param_dtype=param_dtype, dtype=dtype, name=name)
+    if conv_impl in ('auto', 'z2d') and same and undilated and is_3d:
+        return ZDecompConv(nf, kernel_size=opts['kernel_size'],
+                           param_dtype=param_dtype, dtype=dtype, name=name)
     return nn.Conv(nf, **opts, param_dtype=param_dtype, dtype=dtype,
                    name=name)
 
@@ -175,7 +212,7 @@ class ConvEnc(nn.Module):
     batch_norm: Optional[int] = None
     param_dtype: Any = jnp.float32
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
-    conv_impl: str = 'native'  # 'native' (lax conv) or 'im2col' (big-K matmul)
+    conv_impl: str = 'auto'  # 'auto' (z-decomp 3-D), 'native', 'im2col', 'z2d'
 
     @nn.compact
     def __call__(self, x, training=False):
@@ -266,7 +303,7 @@ class ConvDec(nn.Module):
     conv_dropout: float = 0
     param_dtype: Any = jnp.float32
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
-    conv_impl: str = 'native'  # 'native' (lax conv) or 'im2col' (big-K matmul)
+    conv_impl: str = 'auto'  # 'auto' (z-decomp 3-D), 'native', 'im2col', 'z2d'
 
     @nn.compact
     def __call__(self, x, skips=None, training=False):
@@ -391,7 +428,7 @@ class UNet(nn.Module):
     param_dtype: Any = jnp.float32
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
     space_to_depth: int = 1  # fold 2^N spatial blocks into channels (TPU perf)
-    conv_impl: str = 'native'  # 'native' or 'im2col' (see Im2ColConv)
+    conv_impl: str = 'auto'  # 'auto' (z-decomp 3-D), 'native', 'im2col', 'z2d'
 
     @nn.compact
     def __call__(self, x, prior=None, training=False):
@@ -483,7 +520,7 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
          use_residuals=False, final_pred_activation='softmax',
          nb_conv_per_level=1, add_prior_layer=False, add_prior_layer_reg=0,
          layer_nb_feats=None, conv_dropout=0, batch_norm=None, dtype=None,
-         space_to_depth=1, conv_impl='native'):
+         space_to_depth=1, conv_impl='auto'):
     """
     Build a UNet module (reference `neurite/tf/models.py:88-246` knob set).
 

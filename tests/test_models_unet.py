@@ -346,3 +346,30 @@ def test_unet_im2col_matches_native():
                     jax.tree_util.tree_leaves(gn)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_unet_zdecomp_matches_native():
+    """Default 'auto' (z-decomposed 3-D convs) == native conv3d exactly."""
+    import neurite_tpu as ne
+    kwargs = dict(nb_features=4, input_shape=(12, 12, 12, 1), nb_levels=2,
+                  conv_size=3, nb_labels=2)
+    m_auto = ne.models.unet(**kwargs)                      # conv_impl='auto'
+    m_nat = ne.models.unet(**kwargs, conv_impl='native')
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 12, 12, 12, 1)),
+                    jnp.float32)
+    v = m_nat.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(m_auto.init(jax.random.PRNGKey(0),
+                                                     x)))
+    out_a = m_auto.apply(v, x)
+    out_n = m_nat.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_n),
+                               atol=1e-5)
+    ga = jax.grad(lambda p: jnp.sum(m_auto.apply({'params': p}, x) ** 2))(
+        v['params'])
+    gn = jax.grad(lambda p: jnp.sum(m_nat.apply({'params': p}, x) ** 2))(
+        v['params'])
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
