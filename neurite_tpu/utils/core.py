@@ -449,23 +449,27 @@ def separable_conv(x, kernels, axis=None, batched=False, padding='SAME',
     shape_bc = x.shape[:2]
     x = x.reshape((shape_bc[0] * shape_bc[1], *shape_space, 1))
 
-    # NHWC-style dimension numbers for arbitrary N
-    spatial_chars = 'DHWXYZ'[:num_dim]
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, (1,) * num_dim + (1, 1),
-        ('N' + spatial_chars + 'C', spatial_chars + 'IO', 'N' + spatial_chars + 'C'))
+    # each axis pass runs as a reshape-only 2-D conv [pre, ax, post, 1] with
+    # kernel (k, 1): XLA's TPU conv2d path is far faster than N-D convs with
+    # (1,..,k,..,1) kernels (the conv3d slow path — see ops/zdecomp.py), and
+    # the reshapes are contiguous views, no transposes.
+    del ones
+    dn2 = jax.lax.conv_dimension_numbers(
+        (1, 1, 1, 1), (1, 1, 1, 1), ('NHWC', 'HWIO', 'NHWC'))
 
     for ax, k, s, d in zip(axis, kernels, strides, dilations):
         k = jnp.asarray(k, x.dtype)
         width = int(np.prod(k.shape))
-        k = k.reshape((*ones[:ax], width, *ones[ax + 1:num_dim], 1, 1))
-        window_strides = [1] * num_dim
-        window_strides[ax] = int(s)
-        rhs_dilation = [1] * num_dim
-        rhs_dilation[ax] = int(d)
-        x = jax.lax.conv_general_dilated(
-            x, k, window_strides=window_strides, padding=padding,
-            rhs_dilation=rhs_dilation, dimension_numbers=dn)
+        space = x.shape[1:-1]
+        pre = int(np.prod((x.shape[0],) + tuple(space[:ax])))
+        post = int(np.prod(space[ax + 1:]))
+        xr = x.reshape(pre, space[ax], post, 1)
+        out = jax.lax.conv_general_dilated(
+            xr, k.reshape(width, 1, 1, 1),
+            window_strides=(int(s), 1), padding=padding,
+            rhs_dilation=(int(d), 1), dimension_numbers=dn2)
+        new_ax = out.shape[1]
+        x = out.reshape((x.shape[0], *space[:ax], new_ax, *space[ax + 1:], 1))
 
     x = x.reshape((*shape_bc, *x.shape[1:-1]))
     x = jnp.transpose(x, backward)
