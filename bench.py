@@ -167,7 +167,7 @@ def main():
     # resize is ~2ms — needs long chains to resolve above dispatch noise
     resize_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.resize(ne.utils.resize(v, 2.),
-                                                    0.5), wvol, 2, 22))
+                                                    0.5), wvol, 2, 62))
     if resize_s is not None and resize_s <= 0:
         resize_s = None  # noise exceeded signal; omit rather than mislead
 
