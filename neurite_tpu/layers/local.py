@@ -235,6 +235,11 @@ class LocallyConnected(nn.Module):
         assert padding in ('valid', 'same'), f'bad padding {self.padding}'
 
         in_ch = x.shape[-1]
+        # barrier: stops XLA fusing upstream compute into the k^N patch
+        # slabs (which would replicate it k^N times) and fixes a remote-
+        # compiler crash when a z-decomposed conv trunk feeds this layer at
+        # 160^3 (docs/DESIGN.md). Semantically the identity.
+        x = jax.lax.optimization_barrier(x)
         patches, out_shape = _extract_patches(x, ks, st, padding)
         nb_out = int(np.prod(out_shape))
         feature_dim = int(np.prod(ks)) * in_ch
