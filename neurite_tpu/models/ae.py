@@ -69,8 +69,12 @@ class SingleAE(nn.Module):
             assert cs is not None, 'with conv ae, need conv_size'
             cs = (cs,) * ndims if isinstance(cs, int) else tuple(cs)
             def apply(t):
-                t = nn.Conv(nf, kernel_size=cs, padding=self.padding.upper(),
-                            name=name)(t)
+                from neurite_tpu.models.unet import _conv_layer
+                t = _conv_layer(
+                    'auto', nf,
+                    dict(kernel_size=cs, padding=self.padding.upper(),
+                         kernel_dilation=(1,) * ndims),
+                    jnp.float32, None, name)(t)
                 return act(t) if act is not None else t
             return apply
 

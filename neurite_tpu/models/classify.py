@@ -56,9 +56,13 @@ class DesignDNN(nn.Module):
                 if self.conv_dropout > 0:
                     x = nn.Dropout(self.conv_dropout,
                                    deterministic=not training)(x)
-                x = nn.Conv(nb_lvl_feats, kernel_size=cs,
-                            padding=self.padding.upper(),
-                            name=f'conv_{level}_{conv}')(x)
+                # z-decomposed impl for 3-D SAME convs (see models/unet.py)
+                from neurite_tpu.models.unet import _conv_layer
+                x = _conv_layer(
+                    'auto', nb_lvl_feats,
+                    dict(kernel_size=cs, padding=self.padding.upper(),
+                         kernel_dilation=(1,) * ndims),
+                    jnp.float32, None, f'conv_{level}_{conv}')(x)
                 x = act(x)
             if self.use_strided_convolution_maxpool:
                 x = nn.Conv(nb_lvl_feats, kernel_size=ps,
