@@ -120,6 +120,13 @@ class LabelsToImage(nn.Module):
     gamma: float = 0.5
     one_hot: bool = True
     half_res: bool = False
+    # warp engine: 'auto' = exact XLA gather chain; 'onehot' = the block-
+    # windowed one-hot MXU engine (ops.warp.interpn_onehot) for the SVF
+    # integration and compose warps — exact while the integrated SVF stays
+    # within `warp_max_disp` per axis (default 4*warp_max; the Gaussian-tail
+    # caveat is documented in docs/DESIGN.md)
+    warp_impl: str = 'auto'
+    warp_max_disp: Optional[float] = None
     seeds: Any = None
     return_im: bool = True
     return_map: bool = True
@@ -224,15 +231,29 @@ class LabelsToImage(nn.Module):
                 vel_field = vel_field - jnp.mean(
                     vel_field, axis=tuple(range(1, num_dim + 1)),
                     keepdims=True)
-            def_field = jax.vmap(
-                lambda v: spatial.integrate_vec(v, nb_steps=5))(vel_field)
+            wdisp = (self.warp_max_disp if self.warp_max_disp is not None
+                     else 4. * float(self.warp_max))
+            use_onehot = self.warp_impl == 'onehot' and num_dim == 3
+            if use_onehot:
+                # one-hot MXU warp engine, 6x the gather chain at 64^3 —
+                # batch folded into the engine's block scan (the engine must
+                # NOT be vmapped: see batch_transform)
+                def_field = spatial.batch_integrate_vec(
+                    vel_field, nb_steps=5, impl='onehot', max_disp=wdisp)
+            else:
+                def_field = jax.vmap(
+                    lambda v: spatial.integrate_vec(v, nb_steps=5))(vel_field)
             if not self.half_res:
                 def_field = jax.vmap(
                     lambda d: spatial.rescale_dense_transform(d, 2))(def_field)
+            # affine ∘ SVF composition: the warped "volume" of the reference's
+            # dense-compose is an exactly-affine field, so the gather warp
+            # (the most expensive synthesis op) collapses to the closed form
+            # in compose_affine_dense — identical values, no gather
             trans_dense = jax.vmap(
-                lambda a, b: spatial.compose_transforms(
-                    [a, b], shape=tuple(int(s) for s in out_shape),
-                    shift_center=False))(dense_trans, def_field)
+                lambda m, d: spatial.compose_affine_dense(
+                    m[:num_dim], d, tuple(int(s) for s in out_shape)))(
+                        trans, def_field)
         else:
             trans_dense = dense_trans
         outputs['vel'] = vel_field

@@ -15,6 +15,161 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
+                   max_disp=8.0, block=(8, 8)):
+    """
+    3-D warp via block-windowed one-hot matmuls on the MXU — the TPU answer
+    to the reference's scattered-gather `interpn` (`utils.py:73-220`) for
+    *bounded* displacement fields.
+
+    XLA TPU has no fast path for scattered gathers (measured 0.015 Gvox/s at
+    128^3; every blocked/slice formulation is even slower — docs/DESIGN.md).
+    This engine avoids gathers entirely:
+
+      1. tile the output into (bz, by, full-x) blocks;
+      2. per block, `dynamic_slice` a source slab whose (z, y) window starts
+         at the block's own minimum source index (so *global* translations of
+         any size are exact for free — only within-block spread is bounded);
+      3. fetch the 4 (z, y) corner taps of every point with ONE weighted
+         one-hot matmul `[P, K] @ [K, W*C]` in f32 (`Precision.HIGHEST`);
+      4. lerp the two x corners with a masked lane reduction.
+
+    Numerically identical to `utils.interpn` (same corner-collapse clipping;
+    summation order differs by O(1e-7) in f32) for every point whose source
+    z/y spread within a block fits the window: guaranteed when
+    `|loc - output_grid| <= max_disp` per axis. Points beyond the window are
+    clamped to its edge (documented approximation — callers pick `max_disp`
+    from the known bound of their field, e.g. a drawn SVF amplitude).
+    Measured at 128^3 C=1, |disp|<=3: 14ms vs 133ms for the flat 8-gather
+    (9.5x); the matmuls ride the MXU instead of the scalar gather loop.
+
+    vol: [D, H, W], [D, H, W, C], or with a leading batch dim when
+        `loc` also has one (batch is folded into the block scan — NEVER vmap
+        this engine: a vmapped `dynamic_slice` lowers to the slow gather).
+    loc: [*out_shape, 3] or [B, *out_shape, 3] absolute voxel coordinates.
+    max_disp: per-axis bound on |loc - grid| within which results are exact.
+    block: (bz, by) output tile; full x rows ride the lane axis.
+    """
+    if isinstance(loc, (list, tuple)):
+        loc = jnp.stack(loc, -1)
+    assert loc.shape[-1] == 3, 'interpn_onehot is the 3-D engine'
+    assert interp_method in ('linear', 'nearest'), interp_method
+    vol = jnp.asarray(vol)
+
+    # normalize to batched [B, D, H, W, C] / [B, *out, 3]; loc rank
+    # disambiguates a [D, H, W, C] volume from a [B, D, H, W] one
+    batched = loc.ndim == 5
+    if not batched:
+        assert loc.ndim == 4, loc.shape
+        vol, loc = vol[None], loc[None]
+    squeeze_channel = vol.ndim == 4
+    if squeeze_channel:
+        vol = vol[..., None]
+    assert vol.ndim == 5 and loc.ndim == 5, (vol.shape, loc.shape)
+    B, D, H, W, C = vol.shape
+    assert loc.shape[0] == B, (vol.shape, loc.shape)
+    out_sp = loc.shape[1:-1]
+    out_dtype = vol.dtype
+    if not jnp.issubdtype(loc.dtype, jnp.floating):
+        loc = loc.astype(jnp.float32)
+    loc32 = loc.astype(jnp.float32)
+    vol32 = vol.astype(jnp.float32)
+
+    maxl = jnp.asarray([D - 1., H - 1., W - 1.], jnp.float32)
+    cl = jnp.clip(loc32, 0., maxl)
+    if interp_method == 'linear':
+        # corner-collapse convention of utils.interpn: lo clipped to dim-2,
+        # hi weight = cl - lo (weight 1 lands on the top edge exactly)
+        lo = jnp.clip(jnp.floor(cl), 0., jnp.maximum(maxl - 1., 0.))
+        w = cl - lo
+    else:
+        lo = jnp.round(cl)
+        w = jnp.zeros_like(cl)
+    lo_i = lo.astype(jnp.int32)
+
+    bz, by = block
+    pad = int(np.ceil(float(max_disp))) + 1
+    Sz = min(bz + 2 * pad, D)
+    Sy = min(by + 2 * pad, H)
+    K = Sz * Sy
+
+    # pad the *index* fields (not the volume) to block multiples
+    Do, Ho, Wo = out_sp
+    pz = (-Do) % bz
+    py = (-Ho) % by
+    if pz or py:
+        pad_cfg = [(0, 0), (0, pz), (0, py), (0, 0), (0, 0)]
+        lo_i = jnp.pad(lo_i, pad_cfg, mode='edge')
+        w = jnp.pad(w, pad_cfg, mode='edge')
+    nbz, nby = (Do + pz) // bz, (Ho + py) // by
+    P = bz * by * Wo
+
+    def blockify(a):  # [B, nbz*bz, nby*by, Wo, c] -> [B*nbz*nby, P, c]
+        a = a.reshape(B, nbz, bz, nby, by, Wo, a.shape[-1])
+        a = a.transpose(0, 1, 3, 2, 4, 5, 6)
+        return a.reshape(B * nbz * nby, P, a.shape[-1])
+
+    lo_b = blockify(lo_i)
+    w_b = blockify(w)
+    b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nbz * nby)
+
+    kio = jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
+
+    def do_block(carry, inp):
+        lo_p, w_p, b = inp
+        # dynamic window start from the block's own minimum source index
+        z0 = jnp.clip(jnp.min(lo_p[:, 0]), 0, max(D - Sz, 0))
+        y0 = jnp.clip(jnp.min(lo_p[:, 1]), 0, max(H - Sy, 0))
+        slab = jax.lax.dynamic_slice(vol32, (b, z0, y0, 0, 0),
+                                     (1, Sz, Sy, W, C))
+        slab2 = slab.reshape(K, W * C)
+        # local (z, y) indices; in-window points are never clamped (linear
+        # taps reach +1 so clamp to S-2; nearest has a single tap at S-1)
+        lin = interp_method == 'linear'
+        zl = jnp.clip(lo_p[:, 0] - z0, 0, max(Sz - (2 if lin else 1), 0))
+        yl = jnp.clip(lo_p[:, 1] - y0, 0, max(Sy - (2 if lin else 1), 0))
+        r00 = (zl * Sy + yl)[:, None]
+        d = kio - r00
+        if interp_method == 'linear':
+            wz = w_p[:, 0:1]
+            wy = w_p[:, 1:2]
+            oh = ((d == 0) * (1 - wz) * (1 - wy) + (d == 1) * (1 - wz) * wy
+                  + (d == Sy) * wz * (1 - wy) + (d == Sy + 1) * wz * wy)
+        else:
+            oh = (d == 0).astype(jnp.float32)
+        rows = jax.lax.dot(oh, slab2, precision=jax.lax.Precision.HIGHEST)
+        rows = rows.reshape(P, W, C)
+        xl = lo_p[:, 2][:, None]
+        if interp_method == 'linear':
+            # xl is pre-clipped to W-2 so the +1 lane is always in range
+            wx = w_p[:, 2:3]
+            sel = (xio == xl) * (1 - wx) + (xio == xl + 1) * wx
+        else:
+            sel = (xio == xl).astype(jnp.float32)
+        out = jnp.einsum('pwc,pw->pc', rows, sel)
+        return carry, out
+
+    _, outs = jax.lax.scan(do_block, 0., (lo_b, w_b, b_idx))
+    outs = outs.reshape(B, nbz, nby, bz, by, Wo, C)
+    outs = outs.transpose(0, 1, 3, 2, 4, 5, 6)
+    outs = outs.reshape(B, nbz * bz, nby * by, Wo, C)[:, :Do, :Ho]
+
+    if fill_value is not None:
+        oob = jnp.any((loc32 < 0.) | (loc32 > maxl), axis=-1, keepdims=True)
+        outs = jnp.where(oob, jnp.asarray(fill_value, outs.dtype), outs)
+    if interp_method == 'nearest' and not jnp.issubdtype(out_dtype,
+                                                         jnp.floating):
+        outs = jnp.round(outs).astype(out_dtype)
+    elif out_dtype != outs.dtype and jnp.issubdtype(out_dtype, jnp.floating):
+        outs = outs.astype(out_dtype)
+    if squeeze_channel:
+        outs = outs[..., 0]
+    if not batched:
+        outs = outs[0]
+    return outs
+
+
 def interpn_rows(vol, loc, interp_method='linear', fill_value=None):
     """
     3-D warp via ROW gathers: fetch the full contiguous x-row (lane axis) for

@@ -66,7 +66,8 @@ def setup_device(gpuid=None):
 # interpolation
 ###############################################################################
 
-def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto'):
+def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto',
+            max_disp=8.0, block=(8, 8)):
     """
     N-D gridded interpolation (linear or nearest) of `vol` at locations `loc`.
 
@@ -103,6 +104,15 @@ def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto'):
         from neurite_tpu.ops import warp as warp_ops
         return warp_ops.interpn_rows(vol, loc, interp_method=interp_method,
                                      fill_value=fill_value)
+
+    # impl='onehot' selects the block-windowed one-hot MXU engine — 9.5x the
+    # flat gather chain at 128^3 on v5e, exact for fields whose per-axis
+    # displacement is bounded by `max_disp` (see ops.warp.interpn_onehot).
+    if (impl == 'onehot' and nb_dims == 3 and vol.ndim in (3, 4)):
+        from neurite_tpu.ops import warp as warp_ops
+        return warp_ops.interpn_onehot(vol, loc, interp_method=interp_method,
+                                       fill_value=fill_value,
+                                       max_disp=max_disp, block=block)
 
     if vol.ndim not in (nb_dims, nb_dims + 1):
         raise ValueError(

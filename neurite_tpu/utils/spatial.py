@@ -27,12 +27,16 @@ __all__ = [
 
 
 def transform(vol, loc_shift, interp_method='linear', fill_value=None,
-              shift_center=True):
+              shift_center=True, impl='auto', max_disp=8.0):
     """
     Warp a single (unbatched) volume by a dense displacement field:
     out(x) = vol(x + shift(x)).
 
     vol: [*vol_shape] or [*vol_shape, C]; loc_shift: [*out_shape, N].
+
+    impl='onehot' (3-D only) selects the block-windowed one-hot MXU warp —
+    ~9.5x the default gather chain on v5e, exact while |shift| <= max_disp
+    per axis (`ops.warp.interpn_onehot`).
 
     Equivalent of voxelmorph's `transform` used (but never imported) by the
     reference (`neurite/tf/layers.py:1697`).
@@ -44,12 +48,29 @@ def transform(vol, loc_shift, interp_method='linear', fill_value=None,
     grid = jnp.stack([m.astype(loc_shift.dtype) for m in mesh], -1)
     loc = grid + loc_shift
     return core.interpn(vol, loc, interp_method=interp_method,
-                        fill_value=fill_value)
+                        fill_value=fill_value, impl=impl, max_disp=max_disp)
 
 
-def batch_transform(vol, loc_shift, **kwargs):
-    """vmap of `transform` over a leading batch axis of both args."""
-    return jax.vmap(lambda v, s: transform(v, s, **kwargs))(vol, loc_shift)
+def batch_transform(vol, loc_shift, impl='auto', max_disp=8.0, **kwargs):
+    """
+    `transform` over a leading batch axis of both args.
+
+    With impl='onehot' the batch is folded into the engine's internal block
+    scan rather than vmapped: a vmapped `dynamic_slice` would lower to the
+    slow scattered gather this engine exists to avoid.
+    """
+    if impl == 'onehot' and jnp.asarray(loc_shift).shape[-1] == 3:
+        from neurite_tpu.ops import warp as warp_ops
+        kwargs.pop('shift_center', None)
+        loc_shift = jnp.asarray(loc_shift)
+        out_shape = loc_shift.shape[1:-1]
+        mesh = core.volshape_to_ndgrid(out_shape, dtype=jnp.int32)
+        grid = jnp.stack([m.astype(loc_shift.dtype) for m in mesh], -1)
+        return warp_ops.interpn_onehot(vol, grid[None] + loc_shift,
+                                       max_disp=max_disp, **kwargs)
+    return jax.vmap(lambda v, s: transform(v, s, impl=impl,
+                                           max_disp=max_disp, **kwargs))(
+                                               vol, loc_shift)
 
 
 def is_affine_shape(shape):
@@ -107,10 +128,15 @@ def affine_to_dense_shift(matrix, shape, shift_center=True, warp_right=None):
     return shift
 
 
-def integrate_vec(vec, nb_steps=7):
+def integrate_vec(vec, nb_steps=7, impl='auto', max_disp=8.0):
     """
     Integrate a stationary velocity field via scaling and squaring:
     phi = exp(vec) approximated with `nb_steps` squarings.
+
+    impl='onehot' (3-D fields) runs each squaring warp on the one-hot MXU
+    engine — exact while the *final* displacement magnitude stays within
+    `max_disp` per axis (each intermediate field is smaller than the final
+    one). Callers that draw bounded SVFs know this bound statically.
 
     Equivalent of voxelmorph VecInt (ref `models.py:1149`). Rolled as a
     `lax.fori_loop` so the compiled HLO contains ONE warp regardless of
@@ -119,7 +145,52 @@ def integrate_vec(vec, nb_steps=7):
     """
     vec = vec / (2.0 ** nb_steps)
     return jax.lax.fori_loop(
-        0, nb_steps, lambda _, v: v + transform(v, v), vec)
+        0, nb_steps,
+        lambda _, v: v + transform(v, v, impl=impl, max_disp=max_disp), vec)
+
+
+def compose_affine_dense(matrix, dense, shape, clip=True):
+    """
+    Exact closed form of `compose_transforms([affine_to_dense_shift(A), d])`:
+
+        composed(x) = d(x) + interpn(F, x + d(x)),  F[k] = A k - k
+
+    A dense field built from an affine is an exactly-affine function of the
+    grid, and multilinear interpolation reproduces affine functions exactly —
+    so the gather-based composition warp (the single most expensive op in the
+    synthesis pipeline, ~87ms at 128^3 C=3 on v5e) collapses to elementwise
+    math: composed(x) = d(x) + A clip(x + d(x)) - clip(x + d(x)). The clip
+    reproduces interpn's edge clamping bit-for-bit in exact arithmetic
+    (f32 rounding differs at ~1e-6 relative).
+
+    matrix: (N, N+1) or (N+1, N+1) affine (voxel coords, no center shift).
+    dense: [*shape, N] displacement field (the INNER/right transform).
+    """
+    matrix = make_square_affine(jnp.asarray(matrix, jnp.float32))
+    ndims = len(shape)
+    mesh = core.volshape_to_ndgrid(shape, dtype=jnp.int32)
+    grid = jnp.stack([m.astype(jnp.float32) for m in mesh], -1)
+    loc = grid + dense
+    if clip:
+        maxl = jnp.asarray([s - 1. for s in shape], jnp.float32)
+        loc = jnp.clip(loc, 0., maxl)
+    lin = matrix[:ndims, :ndims]
+    aff_at = jnp.einsum('ij,...j->...i', lin, loc) + matrix[:ndims, -1] - loc
+    return dense + aff_at
+
+
+def batch_integrate_vec(vec, nb_steps=7, impl='auto', max_disp=8.0):
+    """
+    `integrate_vec` over a leading batch axis. With impl='onehot' the batch
+    rides the engine's internal block scan (vmapping the engine would batch
+    its `dynamic_slice` into the slow scattered gather — see
+    `batch_transform`).
+    """
+    vec = vec / (2.0 ** nb_steps)
+    return jax.lax.fori_loop(
+        0, nb_steps,
+        lambda _, v: v + batch_transform(v, v, impl=impl, max_disp=max_disp),
+        vec)
 
 
 def rescale_dense_transform(field, factor, interp_method='linear'):
@@ -149,12 +220,19 @@ def rescale_transform(trf, factor, interp_method='linear'):
     return rescale_dense_transform(trf, factor, interp_method=interp_method)
 
 
-def compose_transforms(transforms, shape=None, shift_center=True):
+def compose_transforms(transforms, shape=None, shift_center=True,
+                       impl='auto', max_disp=8.0):
     """
     Compose a list of transforms (affine matrices and/or dense shift fields)
     into ONE dense shift field over `shape`. Transforms are applied to input
     coordinates right-to-left (last transform acts first), matching voxelmorph
     ComposeTransform (ref `models.py:1154`).
+
+    impl='onehot' runs each dense-by-dense composition warp on the one-hot
+    MXU engine. The warp samples the LEFT transform at points displaced by
+    the accumulated RIGHT transform, so `max_disp` must bound the right
+    (inner) field — e.g. the SVF magnitude when composing affine∘SVF, NOT
+    the affine magnitude.
     """
     assert len(transforms) > 0
     if shape is None:
@@ -181,7 +259,7 @@ def compose_transforms(transforms, shape=None, shift_center=True):
                                         warp_right=cur)
         else:
             # t ∘ cur: x + cur(x) + t(x + cur(x))
-            cur = cur + transform(t, cur)
+            cur = cur + transform(t, cur, impl=impl, max_disp=max_disp)
     return cur
 
 

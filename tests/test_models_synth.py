@@ -235,3 +235,31 @@ class TestSynthStrip:
         y = model.apply(v, labels, rngs={'augment': K1})
         # concat(unet prob, synth labels)
         assert y.shape == (2, 16, 16, 2)
+
+
+class TestLabelsToImage3DOneHotWarp:
+    def _build(self, **kwargs):
+        return ne.models.labels_to_image_new(
+            labels_in=list(range(4)), in_shape=(16, 16, 16),
+            warp_blur_min=(4, 4, 4), warp_blur_max=(8, 8, 8), **kwargs)
+
+    def test_onehot_warp_engine_matches_default(self):
+        """warp_impl='onehot' must reproduce the exact-gather pipeline: the
+        integrated SVF matches to float tolerance and the synthesized image
+        differs at most at knife-edge nearest-neighbor label boundaries."""
+        labels = jnp.asarray(
+            np.random.default_rng(3).integers(0, 4, size=(1, 16, 16, 16, 1)),
+            jnp.int32)
+        outs = {}
+        for impl in ('auto', 'onehot'):
+            model = self._build(return_def=True, warp_impl=impl,
+                                aff_shift=2, aff_rotate=5)
+            v = model.init({'params': K0, 'augment': K1}, labels)
+            outs[impl] = model.apply(v, labels, rngs={'augment': K1})
+        np.testing.assert_allclose(np.asarray(outs['auto']['def']),
+                                   np.asarray(outs['onehot']['def']),
+                                   atol=1e-5)
+        a = np.asarray(outs['auto']['image'])
+        b = np.asarray(outs['onehot']['image'])
+        mismatch = np.mean(~np.isclose(a, b, atol=1e-5))
+        assert mismatch < 0.02, f'{mismatch:.4f} of voxels differ'

@@ -192,3 +192,133 @@ def test_interpn_rows_gradient():
     gv_g, gl_g = jax.grad(f_gen, argnums=(0, 1))(vol, loc)
     np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_g), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gl_r), np.asarray(gl_g), atol=1e-4)
+
+
+# -------------------------------------------------------------- warp onehot
+@pytest.mark.parametrize('channels', [None, 2])
+@pytest.mark.parametrize('method', ['linear', 'nearest'])
+@pytest.mark.parametrize('fill', [None, 0.0])
+def test_interpn_onehot_matches_generic(channels, method, fill):
+    shape = (10, 9, 8) + (() if channels is None else (channels,))
+    vol = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((6, 5, 8)), -1).astype(
+        jnp.float32)
+    # bounded displacements plus out-of-range points on both sides
+    loc = base + jnp.asarray(rng.uniform(-2.5, 2.5, size=(6, 5, 8, 3)),
+                             jnp.float32)
+    loc = loc.at[0, 0, 0].set(jnp.asarray([-3., -3., -3.]))
+    loc = loc.at[0, 0, 1].set(jnp.asarray([12., 11., 10.]))   # beyond top
+    loc = loc.at[0, 1, 0].set(jnp.asarray([9., 8., 7.]))      # exact corner
+    loc = loc.at[1, 0, 0].set(jnp.asarray([3., 4., 5.]))      # exact interior
+    want = core.interpn(vol, loc, interp_method=method, fill_value=fill,
+                        impl='gather')
+    got = ops.interpn_onehot(vol, loc, interp_method=method, fill_value=fill,
+                             max_disp=3.0, block=(4, 4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    via_interpn = core.interpn(vol, loc, interp_method=method,
+                               fill_value=fill, impl='onehot', max_disp=3.0,
+                               block=(4, 4))
+    np.testing.assert_allclose(np.asarray(via_interpn), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_interpn_onehot_large_translation_exact():
+    """Dynamic per-block windows absorb global shifts far beyond max_disp."""
+    vol = jnp.asarray(rng.normal(size=(16, 16, 12)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((16, 16, 12)), -1).astype(
+        jnp.float32)
+    shift = jnp.asarray([7.3, -5.2, 2.1], jnp.float32)   # >> max_disp=1
+    loc = base + shift + jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=(16, 16, 12, 3)), jnp.float32)
+    want = core.interpn(vol, loc, impl='gather')
+    got = ops.interpn_onehot(vol, loc, max_disp=1.0, block=(4, 8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_onehot_int_labels_nearest():
+    labels = jnp.asarray(rng.integers(0, 9, size=(8, 8, 8)), jnp.int32)
+    base = jnp.stack(core.volshape_to_ndgrid((8, 8, 8)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-1.5, 1.5, size=(8, 8, 8, 3)),
+                             jnp.float32)
+    want = core.interpn(labels.astype(jnp.float32), loc,
+                        interp_method='nearest', impl='gather')
+    got = ops.interpn_onehot(labels, loc, interp_method='nearest',
+                             max_disp=2.0, block=(4, 4))
+    assert got.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(want).astype(np.int32))
+
+
+def test_interpn_onehot_batched_matches_per_item():
+    vols = jnp.asarray(rng.normal(size=(3, 9, 8, 8, 2)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((9, 8, 8)), -1).astype(
+        jnp.float32)
+    locs = base + jnp.asarray(rng.uniform(-2, 2, size=(3, 9, 8, 8, 3)),
+                              jnp.float32)
+    got = ops.interpn_onehot(vols, locs, max_disp=2.0, block=(4, 4))
+    for b in range(3):
+        want = core.interpn(vols[b], locs[b], impl='gather')
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_interpn_onehot_gradient():
+    vol = jnp.asarray(rng.normal(size=(6, 6, 6, 2)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((6, 6, 6)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-1, 1, size=(6, 6, 6, 3)),
+                             jnp.float32)
+    # keep away from integer lattice points where lerp grads are one-sided
+    loc = jnp.clip(jnp.round(loc) + 0.4, 0.4, 4.6)
+
+    def f_oh(v, l):
+        return jnp.sum(ops.interpn_onehot(v, l, max_disp=2., block=(3, 3))
+                       ** 2)
+
+    def f_gen(v, l):
+        return jnp.sum(core.interpn(v, l, impl='gather') ** 2)
+
+    gv_o, gl_o = jax.grad(f_oh, argnums=(0, 1))(vol, loc)
+    gv_g, gl_g = jax.grad(f_gen, argnums=(0, 1))(vol, loc)
+    np.testing.assert_allclose(np.asarray(gv_o), np.asarray(gv_g), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl_o), np.asarray(gl_g), atol=1e-4)
+
+
+def test_integrate_vec_onehot_matches_default():
+    from neurite_tpu.utils import spatial
+    vel = jnp.asarray(rng.normal(size=(12, 12, 12, 3)), jnp.float32) * 0.8
+    want = spatial.integrate_vec(vel, nb_steps=5)
+    got = spatial.integrate_vec(vel, nb_steps=5, impl='onehot', max_disp=3.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_batch_transform_onehot_matches_default():
+    from neurite_tpu.utils import spatial
+    vols = jnp.asarray(rng.normal(size=(2, 10, 9, 8, 1)), jnp.float32)
+    shifts = jnp.asarray(rng.uniform(-2, 2, size=(2, 10, 9, 8, 3)),
+                         jnp.float32)
+    want = spatial.batch_transform(vols, shifts, interp_method='nearest',
+                                   fill_value=0)
+    got = spatial.batch_transform(vols, shifts, interp_method='nearest',
+                                  fill_value=0, impl='onehot', max_disp=2.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_compose_affine_dense_matches_gather_compose():
+    """Closed-form affine∘dense composition vs the dense gather path,
+    including boundary clamping (large shifts push points out of range)."""
+    from neurite_tpu.utils import spatial
+    shape = (10, 9, 8)
+    mat = np.eye(4, dtype=np.float32)
+    mat[:3, :3] += np.random.default_rng(0).normal(size=(3, 3)) * 0.1
+    mat[:3, 3] = [3.5, -2.2, 1.1]
+    mat = jnp.asarray(mat)
+    dense = jnp.asarray(
+        np.random.default_rng(1).normal(size=shape + (3,)) * 2.5, jnp.float32)
+    dense_aff = spatial.affine_to_dense_shift(mat[:3], shape,
+                                              shift_center=False)
+    want = spatial.compose_transforms([dense_aff, dense], shape=shape,
+                                      shift_center=False)
+    got = spatial.compose_affine_dense(mat[:3], dense, shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
