@@ -163,6 +163,11 @@ def main():
     loc = base_grid + shift
     warp_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(v, loc), wvol, 1, 2))
+    # bounded-displacement warp on the one-hot MXU engine: the loc field is
+    # uniform +-3 so max_disp=3 makes it EXACT (ops.warp.interpn_onehot)
+    warp_oh_s = with_deadline(
+        lambda: fit_chain(lambda v: ne.utils.interpn(
+            v, loc, impl='onehot', max_disp=3.0), wvol, 1, 2))
     s2d4_rate = with_deadline(lambda: s2d_rate(4), 300) if on_tpu else None
     # resize is ~2ms — needs long chains to resolve above dispatch noise
     resize_s = with_deadline(
@@ -182,6 +187,8 @@ def main():
         'loss': float(metrics['loss']),
         'interpn_warp_gvoxps': (round(wv ** 3 / warp_s / 1e9, 3)
                                 if warp_s else None),
+        'interpn_bounded_warp_gvoxps': (round(wv ** 3 / warp_oh_s / 1e9, 3)
+                                        if warp_oh_s else None),
         'resize_up2_down_gvoxps': (round(((2 * wv) ** 3 + wv ** 3)
                                          / resize_s / 1e9, 3)
                                    if resize_s else None),
