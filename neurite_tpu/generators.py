@@ -602,13 +602,14 @@ def _categorical_prep(vol_data, nb_labels_reshape, keep_vol_size, patch_size):
 
 
 def _to_categorical(y, num_classes=None, reshape=True):
-    """One-hot as a boolean matrix (ref `:1024-1051`)."""
+    """One-hot as a boolean matrix (ref `:1024-1051`); multithreaded native
+    expansion via io/native.py with a numpy fallback."""
+    from neurite_tpu.io import native
     oshape = y.shape
     y = np.array(y, dtype='int').ravel()
     if not num_classes:
         num_classes = np.max(y) + 1
-    categorical = np.zeros((y.shape[0], num_classes), bool)
-    categorical[np.arange(y.shape[0]), y] = 1
+    categorical = native.one_hot(y, int(num_classes), dtype=bool)
     if reshape:
         categorical = np.reshape(categorical, [*oshape, num_classes])
     return categorical
@@ -616,10 +617,13 @@ def _to_categorical(y, num_classes=None, reshape=True):
 
 def _relabel(vol_data, labels, forcecheck=False):
     """Map label values to their index in `labels` (ref `:1054-1066`)."""
+    from neurite_tpu.io import native
     if forcecheck:
         vd = np.unique(vol_data.flat)
         assert len(vd) == len(labels), \
             'number of given labels does not match number of actual labels'
+    if np.asarray(vol_data).dtype.kind in 'iu':
+        return native.relabel(vol_data, labels)
     new_vol_data = np.zeros(vol_data.shape, vol_data.dtype)
     for idx, val in np.ndenumerate(np.asarray(labels)):
         new_vol_data[vol_data == val] = idx[0] if len(idx) else idx

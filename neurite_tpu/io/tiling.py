@@ -102,5 +102,7 @@ def quilt(patches, patch_size, vol_shape, stride=None, agg='nanmean'):
         coords = tuple(fr + s for fr, s in zip(flat_region, starts))
         layers[(li.reshape(-1), *coords)] = patches[idx].reshape(-1)
         layer_idx[sl] += 1
-    with np.errstate(invalid='ignore'):
-        return np.nanmedian(layers, axis=0)
+    # multithreaded native nth_element (io/native.py) — numpy fallback inside
+    from neurite_tpu.io import native
+    return native.nan_aggregate_axis0(layers.astype(np.float32),
+                                      agg='nanmedian')

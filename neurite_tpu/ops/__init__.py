@@ -28,3 +28,4 @@ from neurite_tpu.ops.im2col import conv_im2col  # noqa: F401
 from neurite_tpu.ops.zdecomp import conv_z2d  # noqa: F401
 from neurite_tpu.ops.mi_hist import mi_histograms  # noqa: F401
 from neurite_tpu.ops.dice_red import dice_sums  # noqa: F401
+from neurite_tpu.ops.blur import separable_blur3d  # noqa: F401

@@ -459,6 +459,28 @@ def separable_conv(x, kernels, axis=None, batched=False, padding='SAME',
     shape_bc = x.shape[:2]
     x = x.reshape((shape_bc[0] * shape_bc[1], *shape_space, 1))
 
+    # fused one-pass Pallas kernel for the 3-D SAME/stride-1 case (every
+    # Gaussian-blur path): one HBM round trip for all three axes instead of
+    # one per axis — see ops/blur.py. Falls through to the XLA path when the
+    # shape/kernel combination is outside the kernel's envelope.
+    if (num_dim == 3 and padding == 'SAME'
+            and len(set(axis)) == len(axis)
+            and all(int(s) == 1 for s in strides)
+            and all(int(d) == 1 for d in dilations)):
+        from neurite_tpu.ops import blur as blur_ops
+        ks3 = [jnp.ones((1,), x.dtype)] * 3
+        for ax, k in zip(axis, kernels):
+            ks3[ax] = jnp.asarray(k, x.dtype).reshape(-1)
+        xs = x.shape
+        if (blur_ops.supported((xs[0], *shape_space),
+                               [k.shape[-1] for k in ks3], x.dtype)
+                and jax.default_backend() == 'tpu'):
+            out = blur_ops.separable_blur3d(
+                x.reshape(xs[0], *shape_space), ks3, impl='pallas')
+            out = out.reshape((*shape_bc, *shape_space))
+            out = jnp.transpose(out, backward)
+            return out if batched else out[0]
+
     # each axis pass runs as a reshape-only 2-D conv [pre, ax, post, 1] with
     # kernel (k, 1): XLA's TPU conv2d path is far faster than N-D convs with
     # (1,..,k,..,1) kernels (the conv3d slow path — see ops/zdecomp.py), and

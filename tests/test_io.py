@@ -91,3 +91,66 @@ class TestTiling:
         patches = list(neio.patch_gen(vol, (4, 4, 4), stride=(2, 3, 4)))
         out = neio.quilt(patches, (4, 4, 4), (6, 7, 8), stride=(2, 3, 4))
         np.testing.assert_allclose(out, vol, rtol=1e-5)
+
+
+# ------------------------------------------------------------- native hostops
+class TestNativeHostOps:
+    """The C++ host kernels (io/_native/hostops.cpp) must agree with the
+    numpy fallbacks exactly; these tests run both paths."""
+
+    def _numpy_mode(self):
+        import contextlib
+        from neurite_tpu.io import native as nv
+
+        @contextlib.contextmanager
+        def ctx():
+            lib, tried = nv._lib, nv._tried
+            nv._lib, nv._tried = None, True
+            try:
+                yield
+            finally:
+                nv._lib, nv._tried = lib, tried
+        return ctx()
+
+    def test_one_hot_matches_numpy(self):
+        from neurite_tpu.io import native
+        rng = np.random.default_rng(0)
+        lab = rng.integers(-1, 6, size=(7, 9)).astype(np.int32)  # incl. OOR
+        for dtype in (np.float32, bool):
+            got = native.one_hot(lab, 5, dtype=dtype)
+            with self._numpy_mode():
+                want = native.one_hot(lab, 5, dtype=dtype)
+            assert got.dtype == want.dtype
+            np.testing.assert_array_equal(got, want)
+
+    def test_nan_aggregate_matches_numpy(self):
+        from neurite_tpu.io import native
+        rng = np.random.default_rng(1)
+        layers = rng.normal(size=(5, 6, 7)).astype(np.float32)
+        layers[rng.random(layers.shape) < 0.4] = np.nan
+        layers[:, 0, 0] = np.nan                     # all-NaN column
+        for agg in ('nanmedian', 'nanmean'):
+            got = native.nan_aggregate_axis0(layers, agg=agg)
+            with self._numpy_mode():
+                want = native.nan_aggregate_axis0(layers, agg=agg)
+            np.testing.assert_allclose(got, want, atol=1e-6, equal_nan=True)
+
+    def test_relabel_matches_python(self):
+        from neurite_tpu.io import native
+        rng = np.random.default_rng(2)
+        vol = rng.integers(0, 50, size=(6, 6, 6)).astype(np.int32)
+        labels = [5, 11, 23]
+        got = native.relabel(vol, labels)
+        want = np.zeros(vol.shape, vol.dtype)
+        for i, v in enumerate(labels):
+            want[vol == v] = i
+        np.testing.assert_array_equal(got, want)
+
+    def test_quilt_nanmedian_uses_native(self):
+        from neurite_tpu.io import tiling
+        rng = np.random.default_rng(3)
+        vol = rng.normal(size=(10, 12)).astype(np.float32)
+        patches = list(tiling.patch_gen(vol, (6, 6), stride=(4, 6)))
+        out = tiling.quilt(patches, (6, 6), (10, 12), stride=(4, 6),
+                           agg='nanmedian')
+        np.testing.assert_allclose(out, vol, atol=1e-6)

@@ -322,3 +322,64 @@ def test_compose_affine_dense_matches_gather_compose():
                                       shift_center=False)
     got = spatial.compose_affine_dense(mat[:3], dense, shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+# -------------------------------------------------------------- fused blur
+class TestFusedBlur:
+    def _oracle(self, x, ks, axis):
+        return core.separable_conv(x, ks, axis=axis, batched=True)
+
+    @pytest.mark.parametrize('widths', [(5, 3, 7), (1, 3, 1), (9, 9, 9)])
+    def test_parity_vs_separable_conv(self, widths):
+        r = np.random.default_rng(1)
+        x = jnp.asarray(r.normal(size=(2, 16, 12, 24, 2)), jnp.float32)
+        ks = [jnp.asarray(r.uniform(0.1, 1, w), jnp.float32) for w in widths]
+        want = self._oracle(x, ks, axis=[0, 1, 2])
+        # drive the pallas kernel directly (interpret mode on CPU) on the
+        # merged batch*channel layout separable_conv would hand it
+        xm = jnp.moveaxis(x, -1, 1).reshape(4, 16, 12, 24)
+        got = ops.separable_blur3d(xm, ks, impl='pallas', interpret=True)
+        got = jnp.moveaxis(got.reshape(2, 2, 16, 12, 24), 1, -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_axis_subset_and_identity(self):
+        r = np.random.default_rng(2)
+        x = jnp.asarray(r.normal(size=(1, 8, 8, 16, 1)), jnp.float32)
+        k = jnp.asarray(r.uniform(0.1, 1, 5), jnp.float32)
+        want = self._oracle(x, [k], axis=[1])
+        xm = x[..., 0]
+        got = ops.separable_blur3d(
+            xm, (jnp.ones(1), k, jnp.ones(1)), impl='pallas',
+            interpret=True)[..., None]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_grad_matches_xla_path(self):
+        from neurite_tpu.ops import blur as blur_ops
+        r = np.random.default_rng(3)
+        x = jnp.asarray(r.normal(size=(1, 8, 8, 16)), jnp.float32)
+        ks = [jnp.asarray(r.uniform(0.1, 1, w), jnp.float32)
+              for w in (3, 5, 3)]
+
+        def f_p(x, *ks):
+            return jnp.sum(blur_ops._blur3d_ad(x, *ks, True) ** 2)
+
+        def f_j(x, *ks):
+            return jnp.sum(blur_ops._blur3d_jnp(x, *ks) ** 2)
+
+        gp = jax.grad(f_p, argnums=(0, 1, 2, 3))(x, *ks)
+        gj = jax.grad(f_j, argnums=(0, 1, 2, 3))(x, *ks)
+        for a, b in zip(gp, gj):
+            scale = max(1., float(jnp.abs(b).max()))
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=1e-5)
+
+    def test_supported_envelope(self):
+        from neurite_tpu.ops import blur as blur_ops
+        assert blur_ops.supported((1, 128, 128, 128), (7, 7, 7), jnp.float32)
+        assert not blur_ops.supported((1, 128, 128, 128), (8, 7, 7),
+                                      jnp.float32)       # even width
+        # z window larger than the volume depth
+        assert not blur_ops.supported((1, 7, 8, 8), (17, 7, 7), jnp.float32)
+        assert not blur_ops.supported((1, 128, 128), (7, 7), jnp.float32)
