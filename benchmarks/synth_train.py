@@ -14,7 +14,8 @@ from neurite_tpu import training
 
 size, nb_labels = 128, 16
 gen = ne.models.labels_to_image_new(
-    labels_in=list(range(nb_labels)), out_shape=(size,) * 3, one_hot=True)
+    labels_in=list(range(nb_labels)), out_shape=(size,) * 3, one_hot=True,
+    warp_impl=os.environ.get('SYNTH_WARP_IMPL', 'auto'))
 unet = ne.models.unet(nb_features=16, input_shape=(size,) * 3 + (1,),
                       nb_levels=4, conv_size=3, nb_labels=nb_labels,
                       feat_mult=2, nb_conv_per_level=2,

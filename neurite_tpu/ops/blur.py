@@ -194,6 +194,17 @@ def _blur3d_bwd(interpret, res, g):
 _blur3d_ad.defvjp(_blur3d_fwd, _blur3d_bwd)
 
 
+def profitable(shape):
+    """
+    Whether the fused kernel beats the XLA per-axis passes at this size.
+    Measured on v5e (benchmarks/blur.py): 4.2x at 128^3 k=7, 2.0x at k=13;
+    below ~2M voxels or with <128 lanes the grid is too small to amortize
+    kernel launch + DMA setup and XLA wins (0.6x at 64^3 k=7).
+    """
+    N, D, H, W = shape
+    return W >= 128 and N * D * H * W >= 1 << 21
+
+
 def supported(shape, kernel_widths, dtype):
     """Whether the fused kernel handles this (N, D, H, W) blur."""
     if len(shape) != 4 or dtype not in (jnp.float32, np.float32):
@@ -225,7 +236,8 @@ def separable_blur3d(x, kernels, impl='auto', interpret=False):
     x = jnp.asarray(x)
     kz, ky, kx = [jnp.asarray(k, x.dtype).reshape(-1) for k in kernels]
     if impl == 'auto':
-        ok = supported(x.shape, [k.shape[-1] for k in (kz, ky, kx)], x.dtype)
+        ok = (supported(x.shape, [k.shape[-1] for k in (kz, ky, kx)],
+                        x.dtype) and profitable(x.shape))
         impl = 'pallas' if (ok and (interpret or
                                     jax.default_backend() == 'tpu')) \
             else 'jnp'

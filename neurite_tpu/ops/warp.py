@@ -16,7 +16,7 @@ import numpy as np
 
 
 def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
-                   max_disp=8.0, block=(8, 8)):
+                   max_disp=8.0, block=(8, 8), matmul_dtype=None):
     """
     3-D warp via block-windowed one-hot matmuls on the MXU — the TPU answer
     to the reference's scattered-gather `interpn` (`utils.py:73-220`) for
@@ -48,7 +48,17 @@ def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
         this engine: a vmapped `dynamic_slice` lowers to the slow gather).
     loc: [*out_shape, 3] or [B, *out_shape, 3] absolute voxel coordinates.
     max_disp: per-axis bound on |loc - grid| within which results are exact.
-    block: (bz, by) output tile; full x rows ride the lane axis.
+    block: (bz, by) output tile with full x rows riding the lane axis, or
+        (bz, by, bx) to tile x as well. With an x tile the source window is
+        a 3-D box whose start is the block's own per-axis minimum index, so
+        only the field's *in-block* spread must fit `2*max_disp + block` —
+        for smooth fields (blurred SVFs) and moderate affines this keeps the
+        (z, y) window far smaller than the field's global amplitude.
+    matmul_dtype: dtype for the one-hot matmuls (default f32/HIGHEST). For
+        `interp_method='nearest'` the one-hot weights are exactly 0/1, so
+        jnp.bfloat16 stays EXACT whenever every volume value is
+        bf16-representable (integers < 256: label maps) — and runs the
+        matmuls at full MXU bf16 rate instead of the 8-pass f32 rate.
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
@@ -87,43 +97,50 @@ def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
         w = jnp.zeros_like(cl)
     lo_i = lo.astype(jnp.int32)
 
-    bz, by = block
+    bz, by = block[0], block[1]
+    bx = block[2] if len(block) > 2 else None
     pad = int(np.ceil(float(max_disp))) + 1
     Sz = min(bz + 2 * pad, D)
     Sy = min(by + 2 * pad, H)
+    Sx = W if bx is None else min(bx + 2 * pad, W)
     K = Sz * Sy
 
     # pad the *index* fields (not the volume) to block multiples
     Do, Ho, Wo = out_sp
     pz = (-Do) % bz
     py = (-Ho) % by
-    if pz or py:
-        pad_cfg = [(0, 0), (0, pz), (0, py), (0, 0), (0, 0)]
+    px = 0 if bx is None else (-Wo) % bx
+    if pz or py or px:
+        pad_cfg = [(0, 0), (0, pz), (0, py), (0, px), (0, 0)]
         lo_i = jnp.pad(lo_i, pad_cfg, mode='edge')
         w = jnp.pad(w, pad_cfg, mode='edge')
     nbz, nby = (Do + pz) // bz, (Ho + py) // by
-    P = bz * by * Wo
+    nbx = 1 if bx is None else (Wo + px) // bx
+    bxe = Wo + px if bx is None else bx          # x extent of one block
+    P = bz * by * bxe
 
-    def blockify(a):  # [B, nbz*bz, nby*by, Wo, c] -> [B*nbz*nby, P, c]
-        a = a.reshape(B, nbz, bz, nby, by, Wo, a.shape[-1])
-        a = a.transpose(0, 1, 3, 2, 4, 5, 6)
-        return a.reshape(B * nbz * nby, P, a.shape[-1])
+    def blockify(a):  # [B, nbz*bz, nby*by, nbx*bxe, c] -> [B*nb, P, c]
+        a = a.reshape(B, nbz, bz, nby, by, nbx, bxe, a.shape[-1])
+        a = a.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        return a.reshape(B * nbz * nby * nbx, P, a.shape[-1])
 
     lo_b = blockify(lo_i)
     w_b = blockify(w)
-    b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nbz * nby)
+    b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), nbz * nby * nbx)
 
     kio = jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
-    xio = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (P, Sx), 1)
 
     def do_block(carry, inp):
         lo_p, w_p, b = inp
         # dynamic window start from the block's own minimum source index
         z0 = jnp.clip(jnp.min(lo_p[:, 0]), 0, max(D - Sz, 0))
         y0 = jnp.clip(jnp.min(lo_p[:, 1]), 0, max(H - Sy, 0))
-        slab = jax.lax.dynamic_slice(vol32, (b, z0, y0, 0, 0),
-                                     (1, Sz, Sy, W, C))
-        slab2 = slab.reshape(K, W * C)
+        x0 = (jnp.int32(0) if bx is None else
+              jnp.clip(jnp.min(lo_p[:, 2]), 0, max(W - Sx, 0)))
+        slab = jax.lax.dynamic_slice(vol32, (b, z0, y0, x0, 0),
+                                     (1, Sz, Sy, Sx, C))
+        slab2 = slab.reshape(K, Sx * C)
         # local (z, y) indices; in-window points are never clamped (linear
         # taps reach +1 so clamp to S-2; nearest has a single tap at S-1)
         lin = interp_method == 'linear'
@@ -138,22 +155,36 @@ def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
                   + (d == Sy) * wz * (1 - wy) + (d == Sy + 1) * wz * wy)
         else:
             oh = (d == 0).astype(jnp.float32)
-        rows = jax.lax.dot(oh, slab2, precision=jax.lax.Precision.HIGHEST)
-        rows = rows.reshape(P, W, C)
-        xl = lo_p[:, 2][:, None]
+        if matmul_dtype is not None:
+            rows = jax.lax.dot(oh.astype(matmul_dtype),
+                               slab2.astype(matmul_dtype),
+                               preferred_element_type=jnp.float32)
+        else:
+            rows = jax.lax.dot(oh, slab2,
+                               precision=jax.lax.Precision.HIGHEST)
+        rows = rows.reshape(P, Sx, C)
+        lin = interp_method == 'linear'
+        xl = (jnp.clip(lo_p[:, 2] - x0, 0, max(Sx - (2 if lin else 1), 0))
+              if bx is not None else lo_p[:, 2])[:, None]
         if interp_method == 'linear':
-            # xl is pre-clipped to W-2 so the +1 lane is always in range
+            # xl is pre-clipped (globally to W-2, locally to Sx-2) so the
+            # +1 lane is always in range
             wx = w_p[:, 2:3]
             sel = (xio == xl) * (1 - wx) + (xio == xl + 1) * wx
         else:
             sel = (xio == xl).astype(jnp.float32)
-        out = jnp.einsum('pwc,pw->pc', rows, sel)
+        if matmul_dtype is not None:
+            out = jnp.einsum('pwc,pw->pc', rows.astype(matmul_dtype),
+                             sel.astype(matmul_dtype),
+                             preferred_element_type=jnp.float32)
+        else:
+            out = jnp.einsum('pwc,pw->pc', rows, sel)
         return carry, out
 
     _, outs = jax.lax.scan(do_block, 0., (lo_b, w_b, b_idx))
-    outs = outs.reshape(B, nbz, nby, bz, by, Wo, C)
-    outs = outs.transpose(0, 1, 3, 2, 4, 5, 6)
-    outs = outs.reshape(B, nbz * bz, nby * by, Wo, C)[:, :Do, :Ho]
+    outs = outs.reshape(B, nbz, nby, nbx, bz, by, bxe, C)
+    outs = outs.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    outs = outs.reshape(B, nbz * bz, nby * by, nbx * bxe, C)[:, :Do, :Ho, :Wo]
 
     if fill_value is not None:
         oob = jnp.any((loc32 < 0.) | (loc32 > maxl), axis=-1, keepdims=True)

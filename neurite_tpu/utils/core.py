@@ -13,6 +13,7 @@ function), re-designed TPU-first:
 
 import itertools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -461,9 +462,14 @@ def separable_conv(x, kernels, axis=None, batched=False, padding='SAME',
 
     # fused one-pass Pallas kernel for the 3-D SAME/stride-1 case (every
     # Gaussian-blur path): one HBM round trip for all three axes instead of
-    # one per axis — see ops/blur.py. Falls through to the XLA path when the
-    # shape/kernel combination is outside the kernel's envelope.
+    # one per axis — see ops/blur.py. Standalone it measures 4.2x the XLA
+    # passes at 128^3 (benchmarks/blur.py) AND is f32-exact where the XLA
+    # conv path accumulates in bf16 — but embedded in a large program it
+    # was measured to DESYNC the XLA scheduler (synthesis step 204->375ms),
+    # so implicit routing is opt-in via NEURITE_FUSED_BLUR=1; call
+    # ops.separable_blur3d directly for isolated/precision-critical blurs.
     if (num_dim == 3 and padding == 'SAME'
+            and os.environ.get('NEURITE_FUSED_BLUR')
             and len(set(axis)) == len(axis)
             and all(int(s) == 1 for s in strides)
             and all(int(d) == 1 for d in dilations)):
@@ -474,6 +480,7 @@ def separable_conv(x, kernels, axis=None, batched=False, padding='SAME',
         xs = x.shape
         if (blur_ops.supported((xs[0], *shape_space),
                                [k.shape[-1] for k in ks3], x.dtype)
+                and blur_ops.profitable((xs[0], *shape_space))
                 and jax.default_backend() == 'tpu'):
             out = blur_ops.separable_blur3d(
                 x.reshape(xs[0], *shape_space), ks3, impl='pallas')

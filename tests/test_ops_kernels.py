@@ -263,6 +263,54 @@ def test_interpn_onehot_batched_matches_per_item():
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize('method', ['linear', 'nearest'])
+def test_interpn_onehot_xtiled_matches_generic(method):
+    """(bz, by, bx) blocks: 3-D dynamic windows, incl. non-divisible x."""
+    vol = jnp.asarray(rng.normal(size=(12, 10, 11, 2)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((12, 10, 11)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-2.5, 2.5, size=(12, 10, 11, 3)),
+                             jnp.float32)
+    loc = loc.at[0, 0, 0].set(jnp.asarray([-3., -3., -3.]))     # oob low
+    loc = loc.at[0, 0, 1].set(jnp.asarray([14., 12., 13.]))     # oob high
+    want = core.interpn(vol, loc, interp_method=method, fill_value=0.,
+                        impl='gather')
+    got = ops.interpn_onehot(vol, loc, interp_method=method, fill_value=0.,
+                             max_disp=3.0, block=(4, 4, 4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_onehot_xtiled_large_translation_exact():
+    """3-D windows absorb big global shifts along x too."""
+    vol = jnp.asarray(rng.normal(size=(16, 12, 16)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((16, 12, 16)), -1).astype(
+        jnp.float32)
+    shift = jnp.asarray([-4.2, 3.1, 6.7], jnp.float32)
+    loc = base + shift + jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=(16, 12, 16, 3)), jnp.float32)
+    want = core.interpn(vol, loc, impl='gather')
+    got = ops.interpn_onehot(vol, loc, max_disp=1.0, block=(4, 4, 8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_onehot_bf16_nearest_exact_for_labels():
+    """bf16 matmuls stay exact for 0/1 weights over integer label values."""
+    labels = jnp.asarray(rng.integers(0, 250, size=(8, 8, 8)), jnp.int32)
+    base = jnp.stack(core.volshape_to_ndgrid((8, 8, 8)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-1.9, 1.9, size=(8, 8, 8, 3)),
+                             jnp.float32)
+    want = core.interpn(labels.astype(jnp.float32), loc,
+                        interp_method='nearest', impl='gather')
+    for block in ((4, 4), (4, 4, 4)):
+        got = ops.interpn_onehot(labels, loc, interp_method='nearest',
+                                 max_disp=2.0, block=block,
+                                 matmul_dtype=jnp.bfloat16)
+        assert got.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(want).astype(np.int32))
+
+
 def test_interpn_onehot_gradient():
     vol = jnp.asarray(rng.normal(size=(6, 6, 6, 2)), jnp.float32)
     base = jnp.stack(core.volshape_to_ndgrid((6, 6, 6)), -1).astype(
