@@ -103,6 +103,23 @@ def test_reference_names_present(module):
     assert not missing, f'{module} missing: {missing}'
 
 
+def test_neurite_alias_package():
+    """`import neurite as ne` works against the rebuild, with a rename
+    warning carrying the import site (ref `neuron/__init__.py:1-14`)."""
+    import importlib
+    import sys
+    import warnings
+    sys.modules.pop('neurite', None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        alias = importlib.import_module('neurite')
+    assert any('neurite_tpu' in str(w.message) for w in caught)
+    assert alias.models.unet is ne.models.unet
+    assert alias.__version__ == ne.__version__
+    from neurite.utils import interpn as alias_interpn
+    assert alias_interpn is ne.utils.interpn
+
+
 def test_setup_device():
     devs = ne.utils.setup_device()
     assert len(devs) >= 1
