@@ -13,9 +13,13 @@ import neurite_tpu as ne
 from neurite_tpu import training
 
 size, nb_labels = 128, 16
+aff = {}
+if os.environ.get('SYNTH_ROTATED'):      # realistic SynthMorph affine draw
+    aff = dict(aff_rotate=15, aff_scale=0.1, aff_shear=0.05, aff_shift=10)
 gen = ne.models.labels_to_image_new(
     labels_in=list(range(nb_labels)), out_shape=(size,) * 3, one_hot=True,
-    warp_impl=os.environ.get('SYNTH_WARP_IMPL', 'auto'))
+    warp_impl=os.environ.get('SYNTH_WARP_IMPL', 'auto'),
+    label_warp_impl=os.environ.get('SYNTH_LABEL_WARP_IMPL', 'auto'), **aff)
 unet = ne.models.unet(nb_features=16, input_shape=(size,) * 3 + (1,),
                       nb_levels=4, conv_size=3, nb_labels=nb_labels,
                       feat_mult=2, nb_conv_per_level=2,

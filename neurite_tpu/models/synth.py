@@ -120,13 +120,18 @@ class LabelsToImage(nn.Module):
     gamma: float = 0.5
     one_hot: bool = True
     half_res: bool = False
-    # warp engine: 'auto' = exact XLA gather chain; 'onehot' = the block-
-    # windowed one-hot MXU engine (ops.warp.interpn_onehot) for the SVF
-    # integration and compose warps — exact while the integrated SVF stays
-    # within `warp_max_disp` per axis (default 4*warp_max; the Gaussian-tail
-    # caveat is documented in docs/DESIGN.md)
+    # SVF integration warp engine: 'auto'/'onehot' = the block-windowed
+    # one-hot MXU engine (ops.warp.interpn_onehot) in 3-D — exact while the
+    # integrated SVF stays within `warp_max_disp` per axis (default
+    # 4*warp_max; Gaussian-tail caveat in docs/DESIGN.md), and ~2x the whole
+    # synth+train step; 'gather' = the reference-identical XLA gather chain
     warp_impl: str = 'auto'
     warp_max_disp: Optional[float] = None
+    # final nearest label warp: 'auto' = bf16 one-hot MXU engine whenever
+    # statically eligible (3-D, translation/flip-only affine, labels < 256;
+    # measured 5.3x the gather at 128^3, exact — benchmarks/label_warp.py),
+    # else gather; 'onehot'/'gather' force one path
+    label_warp_impl: str = 'auto'
     seeds: Any = None
     return_im: bool = True
     return_map: bool = True
@@ -233,9 +238,14 @@ class LabelsToImage(nn.Module):
                     keepdims=True)
             wdisp = (self.warp_max_disp if self.warp_max_disp is not None
                      else 4. * float(self.warp_max))
-            use_onehot = self.warp_impl == 'onehot' and num_dim == 3
+            # 'auto' picks the one-hot MXU engine for 3-D: inside the fused
+            # synth+train program the gather chain serializes the schedule —
+            # onehot integration + onehot label warp measured 99.2ms/step vs
+            # 192.2ms with gather integration (docs/DESIGN.md). 'gather'
+            # forces the reference-identical gather chain.
+            use_onehot = (num_dim == 3
+                          and self.warp_impl in ('auto', 'onehot'))
             if use_onehot:
-                # one-hot MXU warp engine, 6x the gather chain at 64^3 —
                 # batch folded into the engine's block scan (the engine must
                 # NOT be vmapped: see batch_transform)
                 def_field = spatial.batch_integrate_vec(
@@ -271,17 +281,46 @@ class LabelsToImage(nn.Module):
         aff_bounded = (self.aff_rotate == 0 and self.aff_scale == 0
                        and self.aff_shear == 0 and not self.axes_swap
                        and not self.half_res)
-        use_onehot_labels = (self.warp_impl == 'onehot' and num_dim == 3
-                             and aff_bounded
-                             and max(labels_vals) < 256)
+        rot_b = float(np.max(self.aff_rotate))
+        scale_b = float(np.max(self.aff_scale))
+        shear_b = float(np.max(self.aff_shear))
+        base_ok = (num_dim == 3 and max(labels_vals) < 256
+                   and not self.axes_swap and not self.half_res)
+        # rotation/scale/shear need the shear-decomposed engine (the plain
+        # engine's (z, y) window would grow with the 128-lane x extent);
+        # the small-angle window bounds hold to ~30 deg / 0.3
+        eligible = base_ok and aff_bounded
+        shear_eligible = (base_ok and not aff_bounded
+                          and rot_b <= 30. and scale_b <= 0.3
+                          and shear_b <= 0.3)
+        if self.label_warp_impl == 'onehot':
+            assert eligible or shear_eligible, (
+                "label_warp_impl='onehot' needs 3-D labels < 256, no axis "
+                'swap/half_res, and rotation/scale/shear within 30deg/0.3 '
+                "(beyond that the source windows blow up); use 'auto'")
+        route = self.label_warp_impl in ('auto', 'onehot')
+        wdisp_l = (self.warp_max_disp if self.warp_max_disp is not None
+                   else 4. * float(self.warp_max)) if self.warp_max > 0 \
+            else 1.0
         labels = labels.astype(compute_type)
-        if use_onehot_labels:
-            wdisp_l = (self.warp_max_disp if self.warp_max_disp is not None
-                       else 4. * float(self.warp_max)) if self.warp_max > 0 \
-                else 1.0
+        if eligible and route:
             labels = spatial.batch_transform(
                 labels, trans_dense, interp_method='nearest', fill_value=0,
                 impl='onehot', max_disp=wdisp_l, matmul_dtype=jnp.bfloat16)
+        elif shear_eligible and route:
+            from neurite_tpu.ops import warp as warp_ops
+            mesh = core.volshape_to_ndgrid(
+                tuple(int(s) for s in out_shape), dtype=jnp.int32)
+            grid = jnp.stack([m.astype(trans_dense.dtype) for m in mesh], -1)
+            labels = warp_ops.interpn_shear_onehot(
+                labels[..., 0] if labels.shape[-1] == 1 else labels,
+                trans, grid[None] + trans_dense,
+                max_disp=warp_ops.shear_window_disp(
+                    (8, 8), rot_b, scale_b, shear_b, wdisp_l),
+                max_shear=warp_ops.shear_bound(rot_b, scale_b, shear_b),
+                fill_value=0, matmul_dtype=jnp.bfloat16)
+            if labels.ndim == num_dim + 1:
+                labels = labels[..., None]
         else:
             labels = spatial.batch_transform(labels, trans_dense,
                                              interp_method='nearest',

@@ -352,3 +352,132 @@ def interpn_cube(vol, loc, interp_method='linear', fill_value=None):
     if squeeze_channel:
         out = out[..., 0]
     return out
+
+
+# --------------------------------------------------------------------------
+# shear-decomposed one-hot engine: affine + dense fields, nearest taps
+# --------------------------------------------------------------------------
+def shear_window_disp(block, rot_deg, scale, shear, dense_bound):
+    """
+    Static `max_disp` for `interpn_shear_onehot` guaranteeing in-window
+    sampling for an affine drawn with |rotation| <= rot_deg (degrees),
+    |scale-1| <= scale, |shear| <= shear, plus a dense residual bounded by
+    `dense_bound` per axis. Derivation in the engine docstring; the
+    constants are conservative small-angle bounds.
+    """
+    bz, by = block[0], block[1]
+    m = (2.5 * np.sin(np.deg2rad(min(float(rot_deg), 45.)))
+         + 1.5 * float(scale) + 1.5 * float(shear))
+    ms = 1. + m
+    spread = ((bz - 1) * m + (by - 1) * m
+              + 2. * float(dense_bound) * ms + 3.)
+    return spread / 2. + 1.
+
+
+def shear_bound(rot_deg, scale, shear):
+    """Static bound on the per-lane shear rates |A_zx/A_xx|, |A_yx/A_xx|."""
+    th = np.deg2rad(min(float(rot_deg), 45.))
+    num = 2. * np.sin(th) + 1.5 * float(shear)
+    den = max(0.5, np.cos(th) * (1. - min(float(scale), 0.5)))
+    return num / den
+
+
+def interpn_shear_onehot(vol, matrix, loc, max_disp=8.0, max_shear=0.5,
+                         block=(8, 8), fill_value=None,
+                         matmul_dtype=None):
+    """
+    Nearest-neighbor 3-D warp of `vol` at absolute coordinates `loc` =
+    A x + t + r(x) (affine plus bounded dense residual) on the one-hot MXU
+    engine, for affines whose rotation/scale/shear would otherwise blow up
+    the engine's (z, y) source window with the 128-lane x extent
+    (`interpn_onehot` docstring).
+
+    The fix is a per-lane SHEAR pre-pass: with c_z = A_zx/A_xx (and c_y
+    likewise) the source volume is rebuilt as
+
+        V'(a, b, k) = V(a - Bs + sig_z(k), b - Bs + sig_y(k), k),
+        sig_z(k) = round(c_z (k - ctr)) clipped to +-Bs,
+
+    via two banded one-hot matmuls (einsum over a [W, D', D] shift tensor —
+    MXU work, ~0.7 GFLOP at 128^3, no gathers). In V' coordinates the
+    sample index zeta(x) = round(cl_z) - sig_z(round(cl_x)) has NO
+    first-order x dependence: A_zx x - c_z A_xx x = 0 exactly, so the
+    per-block window only has to cover the z/y block extents times the
+    affine's stretch plus the dense residual — use `shear_window_disp` to
+    size `max_disp` statically from the draw bounds. Points beyond the
+    window clamp to its edge (same contract as `interpn_onehot`); true
+    out-of-range points take `fill_value` exactly as `utils.interpn`.
+
+    Scope: nearest taps only (each x tap needs its own lane shear; linear
+    x-lerps would mix two sheared columns). This is the engine for the
+    synthesis pipeline's rotated label warps (`models.py:1157-1159`).
+
+    vol: [B, D, H, W] or [B, D, H, W, C]; matrix: [B, >=3, >=3] voxel-space
+    affine (linear part used); loc: [B, D, H, W, 3] absolute coordinates;
+    max_shear: static bound on |c_z|, |c_y| (see `shear_bound`).
+    """
+    vol = jnp.asarray(vol)
+    loc = jnp.asarray(loc)
+    assert loc.ndim == 5 and loc.shape[-1] == 3, loc.shape
+    squeeze_channel = vol.ndim == 4
+    if squeeze_channel:
+        vol = vol[..., None]
+    B, D, H, W, C = vol.shape
+    out_dtype = vol.dtype
+    vol32 = vol.astype(jnp.float32)
+    loc32 = loc.astype(jnp.float32)
+
+    maxl = jnp.asarray([D - 1., H - 1., W - 1.], jnp.float32)
+    cl = jnp.clip(loc32, 0., maxl)
+    lo = jnp.round(cl)
+
+    L = jnp.asarray(matrix, jnp.float32)[:, :3, :3]
+    den = L[:, 2, 2]
+    safe = jnp.abs(den) > 0.3
+    den = jnp.where(safe, den, 1.)
+    cz = jnp.where(safe, L[:, 0, 2] / den, 0.)          # [B]
+    cy = jnp.where(safe, L[:, 1, 2] / den, 0.)
+
+    Bs = int(np.ceil(float(max_shear) * (W - 1) / 2.)) + 1
+    ctr = (W - 1) / 2.
+    k_io = jnp.arange(W, dtype=jnp.float32) - ctr        # [W]
+    sig_z = jnp.clip(jnp.round(cz[:, None] * k_io), -Bs, Bs)   # [B, W]
+    sig_y = jnp.clip(jnp.round(cy[:, None] * k_io), -Bs, Bs)
+
+    # banded one-hot shift tensors and the two shear passes (MXU)
+    Dp, Hp = D + 2 * Bs, H + 2 * Bs
+    mm = jnp.float32 if matmul_dtype is None else matmul_dtype
+    a_io = jax.lax.broadcasted_iota(jnp.int32, (1, W, Dp, D), 2)
+    j_io = jax.lax.broadcasted_iota(jnp.int32, (1, W, Dp, D), 3)
+    Mz = (j_io == a_io - Bs + sig_z[:, :, None, None].astype(jnp.int32))
+    vp = jnp.einsum('bkaj,bjhkc->bahkc', Mz.astype(mm), vol32.astype(mm),
+                    preferred_element_type=jnp.float32)
+    g_io = jax.lax.broadcasted_iota(jnp.int32, (1, W, Hp, H), 2)
+    h_io = jax.lax.broadcasted_iota(jnp.int32, (1, W, Hp, H), 3)
+    My = (h_io == g_io - Bs + sig_y[:, :, None, None].astype(jnp.int32))
+    vp = jnp.einsum('bkgh,bahkc->bagkc', My.astype(mm), vp.astype(mm),
+                    preferred_element_type=jnp.float32)   # [B, Dp, Hp, W, C]
+
+    # shear-adjusted integer sample coordinates into the extended volume
+    sz_pt = jnp.clip(jnp.round(cz[:, None, None, None]
+                               * (lo[..., 2] - ctr)), -Bs, Bs)
+    sy_pt = jnp.clip(jnp.round(cy[:, None, None, None]
+                               * (lo[..., 2] - ctr)), -Bs, Bs)
+    loc2 = jnp.stack([lo[..., 0] - sz_pt + Bs,
+                      lo[..., 1] - sy_pt + Bs,
+                      lo[..., 2]], -1)
+
+    out = interpn_onehot(vp, loc2, interp_method='nearest', fill_value=None,
+                         max_disp=max_disp, block=block,
+                         matmul_dtype=matmul_dtype)
+
+    if fill_value is not None:
+        oob = jnp.any((loc32 < 0.) | (loc32 > maxl), axis=-1, keepdims=True)
+        out = jnp.where(oob, jnp.asarray(fill_value, out.dtype), out)
+    if not jnp.issubdtype(out_dtype, jnp.floating):
+        out = jnp.round(out).astype(out_dtype)
+    elif out.dtype != out_dtype:
+        out = out.astype(out_dtype)
+    if squeeze_channel:
+        out = out[..., 0]
+    return out

@@ -243,6 +243,48 @@ class TestLabelsToImage3DOneHotWarp:
             labels_in=list(range(4)), in_shape=(16, 16, 16),
             warp_blur_min=(4, 4, 4), warp_blur_max=(8, 8, 8), **kwargs)
 
+    def test_label_warp_engine_default_matches_gather(self):
+        """With a translation/flip-only affine the default ('auto') label
+        warp rides the bf16 one-hot engine and must be bit-identical to the
+        gather path for the same keys."""
+        labels = jnp.asarray(
+            np.random.default_rng(5).integers(0, 6, size=(1, 16, 16, 16, 1)),
+            jnp.int32)
+        outs = {}
+        for impl in ('gather', 'auto'):
+            model = self._build(label_warp_impl=impl, aff_shift=3,
+                                axes_flip=True)
+            v = model.init({'params': K0, 'augment': K1}, labels)
+            outs[impl] = model.apply(v, labels, rngs={'augment': K1})
+        np.testing.assert_array_equal(np.asarray(outs['auto']['map']),
+                                      np.asarray(outs['gather']['map']))
+        np.testing.assert_allclose(np.asarray(outs['auto']['image']),
+                                   np.asarray(outs['gather']['image']),
+                                   atol=1e-6)
+
+    def test_label_warp_shear_engine_matches_gather_under_rotation(self):
+        """Rotated affines route through the shear-decomposed engine
+        (ops.warp.interpn_shear_onehot) and must match the gather path."""
+        labels = jnp.asarray(
+            np.random.default_rng(6).integers(0, 6, size=(1, 16, 16, 16, 1)),
+            jnp.int32)
+        outs = {}
+        for impl in ('gather', 'onehot'):
+            model = self._build(label_warp_impl=impl, aff_rotate=12,
+                                aff_scale=0.1, aff_shear=0.05, aff_shift=2)
+            v = model.init({'params': K0, 'augment': K1}, labels)
+            outs[impl] = model.apply(v, labels, rngs={'augment': K1})
+        np.testing.assert_array_equal(np.asarray(outs['onehot']['map']),
+                                      np.asarray(outs['gather']['map']))
+
+    def test_label_warp_engine_rejects_extreme_rotation(self):
+        labels = jnp.asarray(
+            np.random.default_rng(6).integers(0, 4, size=(1, 8, 8, 8, 1)),
+            jnp.int32)
+        model = self._build(label_warp_impl='onehot', aff_rotate=60)
+        with pytest.raises(AssertionError, match='30deg'):
+            model.init({'params': K0, 'augment': K1}, labels)
+
     def test_onehot_warp_engine_matches_default(self):
         """warp_impl='onehot' must reproduce the exact-gather pipeline: the
         integrated SVF matches to float tolerance and the synthesized image

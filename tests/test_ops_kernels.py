@@ -14,7 +14,7 @@ import pytest
 
 import neurite_tpu as ne
 from neurite_tpu import ops
-from neurite_tpu.utils import core
+from neurite_tpu.utils import core, spatial
 
 
 rng = np.random.default_rng(7)
@@ -431,3 +431,62 @@ class TestFusedBlur:
         # z window larger than the volume depth
         assert not blur_ops.supported((1, 7, 8, 8), (17, 7, 7), jnp.float32)
         assert not blur_ops.supported((1, 128, 128), (7, 7), jnp.float32)
+
+
+# ------------------------------------------------------- shear onehot engine
+class TestShearOnehot:
+    def _affine(self, rot_deg, scale, shear, shift, key):
+        r = np.random.default_rng(key)
+        par = np.concatenate([
+            r.uniform(-shift, shift, 3),
+            r.uniform(-rot_deg, rot_deg, 3),
+            r.uniform(-scale, scale, 3),
+            r.uniform(-shear, shear, 3)])
+        m = spatial.params_to_affine_matrix(par=jnp.asarray(par), ndims=3,
+                                            deg=True, shift_scale=True,
+                                            last_row=True)
+        return np.asarray(m)
+
+    def _run(self, rot, scale, shear, shift, dense_amp, shape=(18, 16, 16)):
+        from neurite_tpu.ops import warp as warp_ops
+        from scipy import ndimage
+        r = np.random.default_rng(0)
+        labels = jnp.asarray(r.integers(0, 200, size=(2, *shape)), jnp.int32)
+        grid = np.stack(np.meshgrid(*[np.arange(s, dtype=np.float32)
+                                      for s in shape], indexing='ij'), -1)
+        locs, mats = [], []
+        for b in range(2):
+            A = self._affine(rot, scale, shear, shift, b + 1)
+            # rotate about the volume center so samples stay mostly in range
+            ctr = (np.asarray(shape, np.float32) - 1) / 2
+            aff = grid @ A[:3, :3].T + (A[:3, 3] + ctr - ctr @ A[:3, :3].T)
+            d = r.normal(size=(*shape, 3)).astype(np.float32)
+            for c in range(3):
+                d[..., c] = ndimage.gaussian_filter(d[..., c], 3)
+            if np.abs(d).max() > 0:
+                d *= dense_amp / np.abs(d).max()
+            locs.append(aff + d)
+            mats.append(A)
+        loc = jnp.asarray(np.stack(locs))
+        mats = jnp.asarray(np.stack(mats))
+        want = jnp.stack([
+            core.interpn(labels[b].astype(jnp.float32), loc[b],
+                         interp_method='nearest', fill_value=0.,
+                         impl='gather') for b in range(2)])
+        md = warp_ops.shear_window_disp((4, 4), rot, scale, shear, dense_amp)
+        ms = warp_ops.shear_bound(rot, scale, shear)
+        got = warp_ops.interpn_shear_onehot(
+            labels, mats, loc, max_disp=md, max_shear=ms, block=(4, 4),
+            fill_value=0, matmul_dtype=jnp.bfloat16)
+        assert got.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(want).astype(np.int32))
+
+    def test_rotation_scale_shear_exact(self):
+        self._run(rot=12., scale=0.1, shear=0.05, shift=2., dense_amp=2.)
+
+    def test_pure_translation_exact(self):
+        self._run(rot=0., scale=0., shear=0., shift=5., dense_amp=1.5)
+
+    def test_strong_rotation_exact(self):
+        self._run(rot=25., scale=0.15, shear=0.1, shift=1., dense_amp=1.)
