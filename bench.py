@@ -155,6 +155,45 @@ def main():
         tb, st = run2(60, st)
         return batch / ((tb - ta) / 50)
 
+    # BASELINE config #5: full on-device synthesis -> UNet train, one
+    # program (gather-free one-hot warp engines; docs/DESIGN.md). Guarded:
+    # on a cold compile cache this is a multi-minute XLA compile.
+    def synth_rate():
+        gen = ne.models.labels_to_image_new(
+            labels_in=list(range(16)), out_shape=(vol,) * 3, one_hot=True)
+        syn_labels = jnp.asarray(
+            rng.integers(0, 16, size=(1, vol, vol, vol, 1)), jnp.int32)
+        su = ne.models.unet(nb_features=nb_feats,
+                            input_shape=(vol, vol, vol, 1), nb_levels=4,
+                            conv_size=3, nb_labels=16, feat_mult=2,
+                            nb_conv_per_level=2, dtype=jnp.bfloat16,
+                            conv_impl='auto')
+        gv = jax.jit(gen.init)({'params': jax.random.PRNGKey(0),
+                                'augment': jax.random.PRNGKey(1)}, syn_labels)
+        st = training.create_train_state(
+            su, jax.random.PRNGKey(0), jnp.zeros((1,) + (vol,) * 3 + (1,)),
+            optax.adam(1e-3))
+        sl = ne.losses.SoftDice(check_input_limits=False).loss
+        bstep = training.make_train_step(sl)
+
+        @jax.jit
+        def sstep(st, lab, key):
+            out = gen.apply(gv, lab, rngs={'augment': key})
+            return bstep(st, (out['image'], out['map']), key)
+
+        st, mm = sstep(st, syn_labels, jax.random.PRNGKey(2))
+        _ = float(mm['loss'])
+
+        def run(n, st):
+            t0 = time.time()
+            for i in range(n):
+                st, mm = sstep(st, syn_labels, jax.random.PRNGKey(10 + i))
+            _ = float(mm['loss'])
+            return time.time() - t0, st
+        ta, st = run(3, st)
+        tb, st = run(13, st)
+        return 1. / ((tb - ta) / 10)
+
     wv = 128 if on_tpu else 32
     wvol = jnp.asarray(rng.normal(size=(wv, wv, wv, 1)), jnp.float32)
     base_grid = jnp.stack(ne.utils.volshape_to_ndgrid((wv,) * 3),
@@ -169,6 +208,7 @@ def main():
         lambda: fit_chain(lambda v: ne.utils.interpn(
             v, loc, impl='onehot', max_disp=3.0), wvol, 1, 2))
     s2d4_rate = with_deadline(lambda: s2d_rate(4), 300) if on_tpu else None
+    synth_vps = with_deadline(synth_rate, 540) if on_tpu else None
     # resize is ~2ms — needs long chains to resolve above dispatch noise
     resize_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.resize(ne.utils.resize(v, 2.),
@@ -194,6 +234,8 @@ def main():
                                    if resize_s else None),
         's2d4_unet_vols_per_sec': (round(s2d4_rate, 3)
                                    if s2d4_rate else None),
+        'synth_train_vols_per_sec': (round(synth_vps, 3)
+                                     if synth_vps else None),
     }
     print(json.dumps(result))
 

@@ -138,12 +138,21 @@ def integrate_vec(vec, nb_steps=7, impl='auto', max_disp=8.0):
     `max_disp` per axis (each intermediate field is smaller than the final
     one). Callers that draw bounded SVFs know this bound statically.
 
-    Equivalent of voxelmorph VecInt (ref `models.py:1149`). Rolled as a
-    `lax.fori_loop` so the compiled HLO contains ONE warp regardless of
-    nb_steps — an unrolled chain of gather-heavy warps inflates XLA compile
-    time badly on remote-compile TPU runtimes.
+    Equivalent of voxelmorph VecInt (ref `models.py:1149`). The gather path
+    is rolled as a `lax.fori_loop` so the compiled HLO contains ONE warp
+    regardless of nb_steps — an unrolled chain of gather-heavy warps
+    inflates XLA compile time badly on remote-compile TPU runtimes. The
+    one-hot path unrolls instead: |v_i| <= max_disp * 2^(i - nb_steps) is a
+    rigorous bound (|v_{i+1}| <= 2|v_i| under squaring), so early steps get
+    exponentially smaller source windows — ~3.5x less matmul work across
+    the squarings than a fixed final-size window.
     """
     vec = vec / (2.0 ** nb_steps)
+    if impl == 'onehot':
+        for i in range(nb_steps):
+            step_disp = max(1.0, float(max_disp) / 2 ** (nb_steps - 1 - i))
+            vec = vec + transform(vec, vec, impl=impl, max_disp=step_disp)
+        return vec
     return jax.lax.fori_loop(
         0, nb_steps,
         lambda _, v: v + transform(v, v, impl=impl, max_disp=max_disp), vec)
@@ -187,6 +196,13 @@ def batch_integrate_vec(vec, nb_steps=7, impl='auto', max_disp=8.0):
     `batch_transform`).
     """
     vec = vec / (2.0 ** nb_steps)
+    if impl == 'onehot':
+        # per-step shrinking windows — see `integrate_vec`
+        for i in range(nb_steps):
+            step_disp = max(1.0, float(max_disp) / 2 ** (nb_steps - 1 - i))
+            vec = vec + batch_transform(vec, vec, impl=impl,
+                                        max_disp=step_disp)
+        return vec
     return jax.lax.fori_loop(
         0, nb_steps,
         lambda _, v: v + batch_transform(v, v, impl=impl, max_disp=max_disp),
