@@ -307,7 +307,11 @@ class LabelsToImage(nn.Module):
             labels = spatial.batch_transform(
                 labels, trans_dense, interp_method='nearest', fill_value=0,
                 impl='onehot', max_disp=wdisp_l, matmul_dtype=jnp.bfloat16)
-        elif shear_eligible and route:
+        elif shear_eligible and self.label_warp_impl == 'onehot':
+            # measured a wash vs gather in the fused program (103.6 vs
+            # 101.8ms, benchmarks/synth_train.py SYNTH_ROTATED=1) — the
+            # unconditionally-exact gather stays the rotated default and
+            # the shear engine is the explicit opt-in
             from neurite_tpu.ops import warp as warp_ops
             mesh = core.volshape_to_ndgrid(
                 tuple(int(s) for s in out_shape), dtype=jnp.int32)
