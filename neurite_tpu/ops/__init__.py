@@ -23,7 +23,8 @@ from neurite_tpu.ops.resize_mm import (  # noqa: F401
     resize_separable,
 )
 from neurite_tpu.ops.warp import (interpn_cube, interpn_onehot,  # noqa: F401
-                                  interpn_rows)
+                                  interpn_rows, interpn_shear_onehot,
+                                  shear_bound, shear_window_disp)
 from neurite_tpu.ops.im2col import conv_im2col  # noqa: F401
 from neurite_tpu.ops.zdecomp import conv_z2d  # noqa: F401
 from neurite_tpu.ops.mi_hist import mi_histograms  # noqa: F401

@@ -99,3 +99,37 @@ def test_shard_batch_multihost_single_process():
     b = parallel.shard_batch_multihost({'x': x}, mesh)['x']
     assert a.sharding == b.sharding
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_synth_train_step_data_parallel_matches_single_device():
+    """BASELINE config #5 (on-device synthesis -> UNet train) under a
+    data x space mesh: GSPMD shards the one-hot warp engines' block scans
+    over the batch axis; loss must match the single-device program."""
+    import optax
+    from neurite_tpu import parallel, training
+
+    size, nbl, bs = 8, 4, 4
+    gen = ne.models.labels_to_image_new(labels_in=list(range(nbl)),
+                                        out_shape=(size,) * 3, one_hot=True)
+    unet = ne.models.unet(nb_features=2, input_shape=(size,) * 3 + (1,),
+                          nb_levels=2, conv_size=3, nb_labels=nbl)
+    labels = jnp.asarray(np.random.default_rng(0).integers(
+        0, nbl, size=(bs, size, size, size, 1)), jnp.int32)
+    gv = jax.jit(gen.init)({'params': jax.random.PRNGKey(0),
+                            'augment': jax.random.PRNGKey(1)}, labels)
+    state = training.create_train_state(
+        unet, jax.random.PRNGKey(0), jnp.zeros((1,) + (size,) * 3 + (1,)),
+        optax.adam(1e-3))
+    loss = ne.losses.SoftDice(check_input_limits=False).loss
+    base = training.make_train_step(loss)
+
+    def synth_step(st, lab, key):
+        out = gen.apply(gv, lab, rngs={'augment': key})
+        return base(st, (out['image'], out['map']), key)
+
+    _, m1 = jax.jit(synth_step)(state, labels, jax.random.PRNGKey(2))
+    mesh = parallel.create_mesh(data=4, space=2)
+    run = parallel.make_sharded_train_step(synth_step, mesh)
+    _, m2 = run(state, labels, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-4)
