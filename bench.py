@@ -50,7 +50,8 @@ def main():
     model = ne.models.unet(
         nb_features=nb_feats, input_shape=(vol, vol, vol, 1),
         nb_levels=nb_levels, conv_size=3, nb_labels=nb_labels, feat_mult=2,
-        nb_conv_per_level=2, dtype=dtype, conv_impl=conv_impl)
+        nb_conv_per_level=2, dtype=dtype, conv_impl=conv_impl,
+        remat=bool(os.environ.get('BENCH_REMAT')))
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, vol, vol, vol, 1)), jnp.float32)

@@ -429,6 +429,7 @@ class UNet(nn.Module):
     dtype: Any = None  # computation dtype; bf16 runs convs on the MXU fast path
     space_to_depth: int = 1  # fold 2^N spatial blocks into channels (TPU perf)
     conv_impl: str = 'auto'  # 'auto' (z-decomp 3-D), 'native', 'im2col', 'z2d'
+    remat: bool = False  # rematerialize enc/dec on backward (fit big batches)
 
     @nn.compact
     def __call__(self, x, prior=None, training=False):
@@ -460,7 +461,15 @@ class UNet(nn.Module):
         dec_lnf = (self.layer_nb_feats[nb_levels * nb_conv:]
                    if self.layer_nb_feats is not None else None)
 
-        x, skips = ConvEnc(
+        # remat: store only level inputs/outputs (incl. skips) and recompute
+        # conv intermediates on backward — jax.checkpoint as an nn transform;
+        # trades ~30% more conv FLOPs for the activation memory that
+        # otherwise caps the batch (128^3 batch 8 needs 27.4G vs 15.75G HBM)
+        EncCls = (nn.remat(ConvEnc, static_argnums=(2,)) if self.remat
+                  else ConvEnc)
+        DecCls = (nn.remat(ConvDec, static_argnums=(3,)) if self.remat
+                  else ConvDec)
+        x, skips = EncCls(
             nb_features=self.nb_features, nb_levels=nb_levels,
             conv_size=self.conv_size, feat_mult=self.feat_mult,
             pool_size=self.pool_size, padding=self.padding,
@@ -470,13 +479,13 @@ class UNet(nn.Module):
             nb_conv_per_level=nb_conv, conv_dropout=self.conv_dropout,
             batch_norm=self.batch_norm, param_dtype=self.param_dtype,
             dtype=self.dtype, conv_impl=self.conv_impl,
-            name='enc')(x, training=training)
+            name='enc')(x, training)
 
         dec_labels = (self.nb_labels * s2d ** ndims_in if s2d > 1
                       else self.nb_labels)
         dec_final_act = 'linear' if (self.add_prior_layer or s2d > 1) \
             else self.final_pred_activation
-        pred = ConvDec(
+        pred = DecCls(
             nb_features=self.nb_features, nb_levels=nb_levels,
             conv_size=self.conv_size, nb_labels=dec_labels,
             feat_mult=self.feat_mult, pool_size=self.pool_size,
@@ -488,7 +497,7 @@ class UNet(nn.Module):
             batch_norm=self.batch_norm, conv_dropout=self.conv_dropout,
             param_dtype=self.param_dtype, dtype=self.dtype,
             conv_impl=self.conv_impl, name='dec')(
-                x, skips=skips, training=training)
+                x, skips, training)
 
         if s2d > 1:
             from neurite_tpu.utils import core as _core
@@ -520,7 +529,7 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
          use_residuals=False, final_pred_activation='softmax',
          nb_conv_per_level=1, add_prior_layer=False, add_prior_layer_reg=0,
          layer_nb_feats=None, conv_dropout=0, batch_norm=None, dtype=None,
-         space_to_depth=1, conv_impl='auto'):
+         space_to_depth=1, conv_impl='auto', remat=False):
     """
     Build a UNet module (reference `neurite/tf/models.py:88-246` knob set).
 
@@ -540,7 +549,8 @@ def unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 add_prior_layer=add_prior_layer,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
                 batch_norm=batch_norm, dtype=dtype,
-                space_to_depth=space_to_depth, conv_impl=conv_impl)
+                space_to_depth=space_to_depth, conv_impl=conv_impl,
+                remat=remat)
 
 
 def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
@@ -549,7 +559,9 @@ def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                  activation='elu', use_residuals=False,
                  final_pred_activation='softmax', nb_conv_per_level=1,
                  add_prior_layer=False, add_prior_layer_reg=0,
-                 layer_nb_feats=None, conv_dropout=0, batch_norm=None):
+                 layer_nb_feats=None, conv_dropout=0, batch_norm=None,
+                 dtype=None, space_to_depth=1, conv_impl='auto',
+                 remat=False):
     """UNet preset with dilation_rate_mult=2 (ref `models.py:45-85`)."""
     return unet(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 name=name, prefix=prefix, feat_mult=feat_mult,
@@ -562,7 +574,8 @@ def dilation_net(nb_features, input_shape, nb_levels, conv_size, nb_labels,
                 add_prior_layer_reg=add_prior_layer_reg,
                 layer_nb_feats=layer_nb_feats, conv_dropout=conv_dropout,
                 batch_norm=batch_norm, dtype=dtype,
-                space_to_depth=space_to_depth, conv_impl=conv_impl)
+                space_to_depth=space_to_depth, conv_impl=conv_impl,
+                remat=remat)
 
 
 def conv_enc(nb_features, input_shape, nb_levels, conv_size, name=None,
