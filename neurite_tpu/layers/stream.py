@@ -10,14 +10,21 @@ because the batch reductions are global sums when the batch axis is sharded
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _mean_update(pre_mean, pre_count, x, pre_cap):
-    """Cap-weighted streaming mean (ref `layers.py:2059-2073`)."""
+def _mean_update(pre_mean, pre_count, x, pre_cap, axis_name=None):
+    """Cap-weighted streaming mean (ref `layers.py:2059-2073`). With
+    `axis_name` the batch sum/count are `lax.psum`-ed over that mesh axis
+    (exact global-batch semantics under shard_map/pmap; under GSPMD jit the
+    reductions are already global and axis_name must stay None)."""
     this_sum = jnp.sum(x, 0)
     this_bs = jnp.asarray(jnp.shape(x)[0], jnp.float32)
+    if axis_name is not None:
+        this_sum = jax.lax.psum(this_sum, axis_name)
+        this_bs = jax.lax.psum(this_bs, axis_name)
     new_count = pre_count + this_bs
     alpha = this_bs / jnp.minimum(new_count, pre_cap)
     new_mean = pre_mean * (1 - alpha) + (this_sum / this_bs) * alpha
@@ -33,6 +40,7 @@ class MeanStream(nn.Module):
     `training=True` and the 'stream_stats' collection mutable.
     """
     cap: float = 100
+    axis_name: 'str | None' = None   # psum axis for shard_map/pmap DP
 
     @nn.compact
     def __call__(self, x, training=False):
@@ -48,7 +56,7 @@ class MeanStream(nn.Module):
                                             (batch, *mean.value.shape))
 
         new_mean, new_count = _mean_update(mean.value, count.value, x,
-                                           float(self.cap))
+                                           float(self.cap), self.axis_name)
         if not self.is_initializing():
             mean.value = new_mean
             count.value = new_count
@@ -65,6 +73,7 @@ class CovStream(nn.Module):
     Parity: reference `layers.py:1978-2056`.
     """
     cap: float = 100
+    axis_name: 'str | None' = None   # psum axis for shard_map/pmap DP
 
     @nn.compact
     def __call__(self, x, training=False):
@@ -83,15 +92,19 @@ class CovStream(nn.Module):
                                             (batch, v, v))
 
         new_mean, new_count = _mean_update(mean.value, count.value, x,
-                                           float(self.cap))
+                                           float(self.cap), self.axis_name)
         this_bs = jnp.asarray(batch, jnp.float32)
         prev_count = count.value
 
         x_flat = x.reshape(batch, -1)  # B x V
         c_delta = jnp.einsum('bi,bj->bij', x_flat, x_flat)  # B x V x V
 
+        c_sum = jnp.sum(c_delta, 0)
+        if self.axis_name is not None:
+            c_sum = jax.lax.psum(c_sum, self.axis_name)
+            this_bs = jax.lax.psum(this_bs, self.axis_name)
         prev_cap = jnp.minimum(prev_count, self.cap)
-        c = cov.value * (prev_cap - 1) + jnp.sum(c_delta, 0)
+        c = cov.value * (prev_cap - 1) + c_sum
         new_cov = c / (prev_cap + this_bs - 1)
 
         if not self.is_initializing():

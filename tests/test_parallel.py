@@ -133,3 +133,55 @@ def test_synth_train_step_data_parallel_matches_single_device():
     _, m2 = run(state, labels, jax.random.PRNGKey(2))
     np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
                                rtol=1e-4)
+
+
+def test_mean_stream_axis_name_matches_global_batch():
+    """MeanStream under shard_map with axis_name must equal the
+    single-device update on the full batch (SURVEY §7.3: psum of batch sums
+    before the cap-weighted update)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 5)), jnp.float32)
+    single = ne.layers.MeanStream(cap=10)
+    v = single.init(jax.random.PRNGKey(0), x, training=True)
+    _, want = single.apply(v, x, training=True, mutable=['stream_stats'])
+
+    sharded = ne.layers.MeanStream(cap=10, axis_name='data')
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ('data',))
+
+    def step(xs):
+        _, vs = sharded.apply(v, xs, training=True, mutable=['stream_stats'])
+        return vs['stream_stats']['mean'], vs['stream_stats']['count']
+
+    mean, count = jax.jit(shard_map(
+        step, mesh=mesh, in_specs=P('data'), out_specs=P()))(x)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.asarray(want['stream_stats']['mean']),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(count),
+                               np.asarray(want['stream_stats']['count']),
+                               rtol=1e-6)
+
+
+def test_cov_stream_axis_name_matches_global_batch():
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 4)), jnp.float32)
+    single = ne.layers.CovStream(cap=10)
+    v = single.init(jax.random.PRNGKey(0), x, training=True)
+    _, want = single.apply(v, x, training=True, mutable=['stream_stats'])
+
+    sharded = ne.layers.CovStream(cap=10, axis_name='data')
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ('data',))
+
+    def step(xs):
+        _, vs = sharded.apply(v, xs, training=True, mutable=['stream_stats'])
+        return vs['stream_stats']['cov']
+
+    cov = jax.jit(shard_map(step, mesh=mesh, in_specs=P('data'),
+                            out_specs=P()))(x)
+    np.testing.assert_allclose(np.asarray(cov),
+                               np.asarray(want['stream_stats']['cov']),
+                               rtol=1e-5)
