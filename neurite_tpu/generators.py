@@ -528,17 +528,32 @@ class VolumeDataset:
         rng = np.random.default_rng((self.seed, epoch))
         return rng.permutation(len(self))
 
-    def batches(self, batch_size, start_step=0, epochs=None):
+    def batches(self, batch_size, start_step=0, epochs=None, num_workers=0):
         """Infinite (or bounded) deterministic batch iterator, resumable from
-        a global step."""
+        a global step. With `num_workers` > 0 the per-item loads (disk IO +
+        preprocessing, the reference's single-threaded hot path — SURVEY
+        §3.2) run on a thread pool; determinism is unchanged since items are
+        assembled in index order."""
         per_epoch = max(1, len(self) // batch_size)
-        step = start_step
-        while epochs is None or step < epochs * per_epoch:
-            epoch, pos = divmod(step, per_epoch)
-            order = self.epoch_order(epoch)
-            idx = order[pos * batch_size:(pos + 1) * batch_size]
-            yield np.stack([self[i] for i in idx])
-            step += 1
+        pool = None
+        if num_workers:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=num_workers)
+        try:
+            step = start_step
+            while epochs is None or step < epochs * per_epoch:
+                epoch, pos = divmod(step, per_epoch)
+                order = self.epoch_order(epoch)
+                idx = order[pos * batch_size:(pos + 1) * batch_size]
+                if pool is not None:
+                    items = list(pool.map(self.__getitem__, idx))
+                else:
+                    items = [self[i] for i in idx]
+                yield np.stack(items)
+                step += 1
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def prefetch_to_device(iterator, size=2, devices_put=None):

@@ -77,6 +77,15 @@ class TestVolGenerator:
         np.testing.assert_array_equal(next(it2), batches[2])
         np.testing.assert_array_equal(next(it2), batches[3])
 
+    def test_dataset_workers_identical_batches(self, voldir):
+        """Thread-pool loading must not change batch contents or order."""
+        vd, _ = voldir
+        ds = ne.generators.VolumeDataset(vd, nb_labels_reshape=1, seed=3)
+        serial = ds.batches(batch_size=2, epochs=1)
+        pooled = ds.batches(batch_size=2, epochs=1, num_workers=4)
+        for a, b in zip(serial, pooled):
+            np.testing.assert_array_equal(a, b)
+
     def test_prefetch_to_device(self, voldir):
         vd, _ = voldir
         ds = ne.generators.VolumeDataset(vd, nb_labels_reshape=1)
