@@ -13,6 +13,7 @@ import neurite_tpu as ne
 from neurite_tpu import training
 
 size, nb_labels = 128, 16
+batch = int(os.environ.get('SYNTH_BATCH', 1))
 aff = {}
 if os.environ.get('SYNTH_ROTATED'):      # realistic SynthMorph affine draw
     aff = dict(aff_rotate=15, aff_scale=0.1, aff_shear=0.05, aff_shift=10)
@@ -26,12 +27,12 @@ unet = ne.models.unet(nb_features=16, input_shape=(size,) * 3 + (1,),
                       dtype=jnp.bfloat16, conv_impl='auto')
 
 labels = jnp.asarray(np.random.default_rng(0).integers(
-    0, nb_labels, size=(1, size, size, size, 1)), jnp.int32)
+    0, nb_labels, size=(batch, size, size, size, 1)), jnp.int32)
 t0 = time.time()
 gen_vars = jax.jit(gen.init)({'params': jax.random.PRNGKey(0),
                               'augment': jax.random.PRNGKey(1)}, labels)
 state = training.create_train_state(
-    unet, jax.random.PRNGKey(0), jnp.zeros((1,) + (size,) * 3 + (1,)),
+    unet, jax.random.PRNGKey(0), jnp.zeros((batch,) + (size,) * 3 + (1,)),
     optax.adam(1e-3))
 loss = ne.losses.SoftDice(check_input_limits=False).loss
 base_step = training.make_train_step(loss)
@@ -59,5 +60,5 @@ def run(n, state):
 t1, state = run(3, state)
 t2, state = run(13, state)
 dt = (t2 - t1) / 10
-print(f'synth+train step {dt*1000:.1f} ms -> {1/dt:.2f} vol/s/chip',
+print(f'synth+train step {dt*1000:.1f} ms -> {batch/dt:.2f} vol/s/chip',
       flush=True)

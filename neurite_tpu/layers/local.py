@@ -221,6 +221,12 @@ class LocallyConnected(nn.Module):
     kernel_initializer: Any = nn.initializers.lecun_normal()
     bias_initializer: Any = nn.initializers.zeros_init()
     implementation: int = 2  # ignored; API parity
+    # param_dtype=bf16 halves the HBM traffic of the [V, k^N*Cin, Cout]
+    # weight tensor — the layer is bandwidth-bound at head scale (450M
+    # params at 160^3) — at a documented precision cost; accumulation
+    # stays f32 either way.
+    param_dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -245,7 +251,13 @@ class LocallyConnected(nn.Module):
         feature_dim = int(np.prod(ks)) * in_ch
 
         kernel = self.param('kernel', self.kernel_initializer,
-                            (nb_out, feature_dim, self.filters))
+                            (nb_out, feature_dim, self.filters),
+                            self.param_dtype)
+        ct = self.dtype or x.dtype
+        if kernel.dtype != ct:
+            kernel = kernel.astype(ct)
+        if patches.dtype != ct:
+            patches = patches.astype(ct)
 
         p = patches.reshape(patches.shape[0], nb_out, feature_dim)
         # one batched local matmul on the MXU: [B,V,I] x [V,I,O] -> [B,V,O]
@@ -255,7 +267,7 @@ class LocallyConnected(nn.Module):
 
         if self.use_bias:
             bias = self.param('bias', self.bias_initializer,
-                              (*out_shape, self.filters))
+                              (*out_shape, self.filters), self.param_dtype)
             y = y + bias
         if self.activation is not None:
             y = self.activation(y)
