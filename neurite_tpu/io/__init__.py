@@ -7,5 +7,5 @@ from neurite_tpu.io.medio import (  # noqa: F401
     save_volfile,
 )
 from neurite_tpu.io.tiling import (  # noqa: F401
-    patch_gen, patch_starts, grid_size, quilt,
+    patch_gen, patch_starts, grid_size, quilt, quilt_device,
 )

@@ -106,3 +106,55 @@ def quilt(patches, patch_size, vol_shape, stride=None, agg='nanmean'):
     from neurite_tpu.io import native
     return native.nan_aggregate_axis0(layers.astype(np.float32),
                                       agg='nanmedian')
+
+
+def quilt_device(patches, patch_size, vol_shape, stride=None, agg='mean'):
+    """
+    On-device quilt: reassemble patches into a volume WITHOUT a host round
+    trip (SURVEY §5.8 "quilt on device when feasible") — jit/grad-friendly,
+    so whole-volume patch inference can stay on the accelerator end to end.
+
+    patches: [P, *patch_size, ...] device array in the row-major grid order
+        `patch_gen`/`patch_starts` produce.
+    agg: 'mean' (overlap average via sum + hit-count) or 'sum'. The host
+        `quilt` keeps the reference's nan-median semantics
+        (`seg.py:363-374`); median needs all overlapping layers resident,
+        which defeats the streaming form — use the host path for it.
+
+    Implementation: a `lax.scan` of dynamic_update_slice accumulate — a
+    contiguous block write per patch, not a scattered gather/scatter (the
+    slow class on TPU).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    assert agg in ('mean', 'sum'), agg
+    patches = jnp.asarray(patches)
+    ndims = len(vol_shape)
+    axis_starts, psize = patch_starts(vol_shape, patch_size, stride)
+    starts = np.asarray(
+        [s for s in itertools.product(*axis_starts)], np.int32)
+    assert patches.shape[0] == len(starts), \
+        f'{patches.shape[0]} patches != {len(starts)} grid positions'
+    trailing = patches.shape[1 + ndims:]
+
+    acc = jnp.zeros((*vol_shape, *trailing), patches.dtype)
+    cnt = jnp.zeros(vol_shape, jnp.float32)
+    ones = jnp.ones(tuple(psize), jnp.float32)
+    zeros_t = (jnp.int32(0),) * len(trailing)
+
+    def body(carry, inp):
+        acc, cnt = carry
+        patch, st = inp
+        idx = tuple(st[d] for d in range(ndims))
+        cur = jax.lax.dynamic_slice(acc, idx + zeros_t, patch.shape)
+        acc = jax.lax.dynamic_update_slice(acc, cur + patch, idx + zeros_t)
+        curc = jax.lax.dynamic_slice(cnt, idx, ones.shape)
+        cnt = jax.lax.dynamic_update_slice(cnt, curc + ones, idx)
+        return (acc, cnt), 0
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (patches, starts))
+    if agg == 'mean':
+        cnt = cnt.reshape(cnt.shape + (1,) * len(trailing))
+        acc = acc / cnt.astype(acc.dtype)
+    return acc

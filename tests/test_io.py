@@ -154,3 +154,40 @@ class TestNativeHostOps:
         out = tiling.quilt(patches, (6, 6), (10, 12), stride=(4, 6),
                            agg='nanmedian')
         np.testing.assert_allclose(out, vol, atol=1e-6)
+
+
+class TestQuiltDevice:
+    def test_mean_matches_host_mean(self):
+        import jax.numpy as jnp
+        from neurite_tpu.io import tiling
+        rng = np.random.default_rng(0)
+        vol = rng.normal(size=(10, 12, 8)).astype(np.float32)
+        patches = np.stack(list(tiling.patch_gen(vol, (6, 6, 4),
+                                                 stride=(4, 6, 4))))
+        got = tiling.quilt_device(jnp.asarray(patches), (6, 6, 4),
+                                  (10, 12, 8), stride=(4, 6, 4), agg='mean')
+        # overlap-mean of identical patch data reproduces the volume
+        np.testing.assert_allclose(np.asarray(got), vol, atol=1e-6)
+
+    def test_trailing_channels_and_jit(self):
+        import jax
+        import jax.numpy as jnp
+        from neurite_tpu.io import tiling
+        rng = np.random.default_rng(1)
+        vol = rng.normal(size=(9, 9, 2)).astype(np.float32)   # 2-D + C
+        patches = np.stack(list(tiling.patch_gen(vol, (5, 5),
+                                                 stride=(4, 4))))
+        f = jax.jit(lambda p: tiling.quilt_device(p, (5, 5), (9, 9),
+                                                  stride=(4, 4)))
+        got = f(jnp.asarray(patches))
+        np.testing.assert_allclose(np.asarray(got), vol, atol=1e-6)
+
+    def test_sum_counts_overlaps(self):
+        import jax.numpy as jnp
+        from neurite_tpu.io import tiling
+        vol = np.ones((6, 6), np.float32)
+        patches = np.stack(list(tiling.patch_gen(vol, (4, 4), stride=(2, 2))))
+        got = tiling.quilt_device(jnp.asarray(patches), (4, 4), (6, 6),
+                                  stride=(2, 2), agg='sum')
+        # center cells are covered by all four patches
+        assert float(np.asarray(got)[2, 2]) == 4.0
