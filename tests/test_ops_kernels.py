@@ -490,3 +490,23 @@ class TestShearOnehot:
 
     def test_strong_rotation_exact(self):
         self._run(rot=25., scale=0.15, shear=0.1, shift=1., dense_amp=1.)
+
+
+def test_interpn_onehot_bf16x2_linear_accuracy():
+    """Split-float matmuls land at ~1e-5 relative of the f32 gather path
+    (the lo component is itself bf16-rounded, so the recovered precision is
+    ~2^-17 per operand) — half the MXU passes of f32/HIGHEST; opt-in only,
+    since 1e-5 is the framework's parity bound, not comfortably inside it."""
+    vol = jnp.asarray(rng.normal(size=(10, 9, 12, 3)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((10, 9, 12)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-2.5, 2.5, size=(10, 9, 12, 3)),
+                             jnp.float32)
+    want = core.interpn(vol, loc, interp_method='linear', fill_value=0.,
+                        impl='gather')
+    got = ops.interpn_onehot(vol, loc, interp_method='linear', fill_value=0.,
+                             max_disp=3.0, block=(4, 4),
+                             matmul_dtype='bf16x2')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 1e-4, err
