@@ -185,3 +185,76 @@ def sharded_dice_sums(y_true, y_pred, mesh, sharded_axis=1,
     in_spec = P(*spec)
     return shard_map(local, mesh=mesh, in_specs=(in_spec, in_spec),
                      out_specs=(P(), P(), P()))(y_true, y_pred)
+
+
+def sharded_bounded_warp(vol, loc_shift, mesh, max_disp=8.0,
+                         interp_method='linear', fill_value=None,
+                         impl='onehot', matmul_dtype=None,
+                         axis_name=SPACE_AXIS):
+    """
+    Warp a batch of 3-D volumes whose z axis is sharded over the mesh
+    `axis_name` by a bounded displacement field: out(x) = vol(x + shift(x)),
+    |shift| <= max_disp per axis.
+
+    The distributed form of the one-hot warp engine (SURVEY §5.7/§5.8):
+    each shard halo-exchanges a ceil(max_disp)+1 slab of source rows over
+    ICI (`lax.ppermute` inside `halo_exchange`), then warps its own output
+    rows entirely from local+halo data — neighbor-wise communication
+    overlapped with per-shard MXU work, the context-parallel pattern in
+    volume form. Matches the unsharded warp exactly for in-bound fields:
+    global-edge clipping reproduces because clipped z coordinates never
+    reach the fabricated halo rows (clip happens against the *global*
+    extent before localization).
+
+    vol: [B, D, H, W] or [B, D, H, W, C], z sharded; loc_shift:
+    [B, D, H, W, 3] displacements (z component in *global* voxel units),
+    sharded the same way.
+    """
+    import numpy as np
+    from neurite_tpu.ops import warp as warp_ops
+    from neurite_tpu.utils import core
+
+    n_space = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    has_c = vol.ndim == 5
+    halo = int(np.ceil(float(max_disp))) + 1
+    d_global = vol.shape[1]
+    local_len = d_global // n_space
+    assert d_global % n_space == 0, (d_global, n_space)
+    assert halo <= local_len, \
+        f'halo {halo} exceeds local z extent {local_len}'
+
+    def local(v, s):
+        idx = jax.lax.axis_index(axis_name)
+        z_off = (idx * local_len).astype(jnp.float32)
+        vp = halo_exchange(v, halo, 1, axis_name)
+        # global sample coordinates for this shard's output rows
+        zl, yl, xl = [g.astype(jnp.float32)
+                      for g in core.volshape_to_ndgrid(s.shape[1:-1])]
+        loc_z = jnp.clip(zl[None] + z_off + s[..., 0], 0., d_global - 1.)
+        loc_z = loc_z - z_off + halo          # into the halo-padded shard
+        loc = jnp.stack([loc_z, yl[None] + s[..., 1], xl[None] + s[..., 2]],
+                        -1)
+        if impl == 'onehot':
+            out = warp_ops.interpn_onehot(
+                vp, loc, interp_method=interp_method, max_disp=max_disp + 1,
+                matmul_dtype=matmul_dtype)
+        else:
+            out = jax.vmap(lambda vv, ll: core.interpn(
+                vv, ll, interp_method=interp_method))(vp, loc)
+        if fill_value is not None:
+            glob = jnp.stack([zl[None] + z_off + s[..., 0],
+                              yl[None] + s[..., 1], xl[None] + s[..., 2]], -1)
+            maxl = jnp.asarray([d_global - 1., s.shape[2] - 1.,
+                                s.shape[3] - 1.], jnp.float32)
+            oob = jnp.any((glob < 0.) | (glob > maxl), axis=-1)
+            if has_c:
+                oob = oob[..., None]
+            out = jnp.where(oob, jnp.asarray(fill_value, out.dtype), out)
+        return out
+
+    vspec = P(None, axis_name, None, None, None) if has_c \
+        else P(None, axis_name, None, None)
+    sspec = P(None, axis_name, None, None, None)
+    f = shard_map(local, mesh=mesh, in_specs=(vspec, sspec),
+                  out_specs=vspec)
+    return f(vol, loc_shift)

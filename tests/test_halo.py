@@ -95,3 +95,43 @@ def test_halo_exchange_boundary_modes(mesh):
         mesh=mesh, in_specs=P(None, 'space'), out_specs=P(None, 'space'))
     out = np.asarray(f0(x))
     np.testing.assert_allclose(out[:, :2], 0.)
+
+
+def test_sharded_bounded_warp_matches_unsharded():
+    """Halo-exchange + shard-local one-hot warp == unsharded warp (both
+    linear and nearest, with and without channels/fill)."""
+    from neurite_tpu.parallel import halo, mesh as pmesh
+    from neurite_tpu.utils import spatial
+
+    mesh = pmesh.create_mesh(data=1, space=4)
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(2, 16, 8, 8)), jnp.float32)
+    shift = jnp.asarray(rng.uniform(-2., 2., size=(2, 16, 8, 8, 3)),
+                        jnp.float32)
+
+    for method in ('linear', 'nearest'):
+        want = spatial.batch_transform(vol, shift, interp_method=method,
+                                       fill_value=0., impl='onehot',
+                                       max_disp=3.0)
+        got = halo.sharded_bounded_warp(vol, shift, mesh, max_disp=3.0,
+                                        interp_method=method, fill_value=0.)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=method)
+
+
+def test_sharded_bounded_warp_channels_and_big_z_shift():
+    from neurite_tpu.parallel import halo, mesh as pmesh
+    from neurite_tpu.utils import spatial
+
+    mesh = pmesh.create_mesh(data=1, space=2)
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray(rng.normal(size=(1, 12, 8, 8, 2)), jnp.float32)
+    # includes cross-shard reads: z displacement up to 3 crosses the
+    # shard boundary rows
+    shift = jnp.asarray(rng.uniform(-3., 3., size=(1, 12, 8, 8, 3)),
+                        jnp.float32)
+    want = spatial.batch_transform(vol, shift, fill_value=0.,
+                                   impl='onehot', max_disp=4.0)
+    got = halo.sharded_bounded_warp(vol, shift, mesh, max_disp=4.0,
+                                    fill_value=0.)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
