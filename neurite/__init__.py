@@ -10,7 +10,9 @@ unchanged.
 import inspect
 import warnings
 
-frame = inspect.stack()[-1]
+# context=0 skips per-frame source reads (inspect.stack default materializes
+# source context for every frame on the import path)
+frame = inspect.stack(context=0)[-1]
 warnings.warn('`neurite` here is the TPU-native rebuild `neurite_tpu` '
               f'(imported from {frame.filename}:{frame.lineno}).',
               stacklevel=2)

@@ -93,7 +93,10 @@ def quilt(patches, patch_size, vol_shape, stride=None, agg='nanmean'):
         st = (axis_starts[d][1] - axis_starts[d][0]) \
             if len(axis_starts[d]) > 1 else psize[d]
         max_layers *= int(np.ceil(psize[d] / max(st, 1)))
-    layers = np.full((max_layers, *vol_shape), np.nan)
+    # accumulate in the patches' floating dtype: the native f32 kernel only
+    # takes f32 inputs; f64 patches keep full precision via the numpy path
+    acc_dtype = np.result_type(np.asarray(patches[0]).dtype, np.float32)
+    layers = np.full((max_layers, *vol_shape), np.nan, acc_dtype)
     layer_idx = np.zeros(vol_shape, np.int32)
     for idx, starts in enumerate(itertools.product(*axis_starts)):
         sl = tuple(slice(s, s + p) for s, p in zip(starts, psize))
@@ -102,10 +105,13 @@ def quilt(patches, patch_size, vol_shape, stride=None, agg='nanmean'):
         coords = tuple(fr + s for fr, s in zip(flat_region, starts))
         layers[(li.reshape(-1), *coords)] = patches[idx].reshape(-1)
         layer_idx[sl] += 1
-    # multithreaded native nth_element (io/native.py) — numpy fallback inside
-    from neurite_tpu.io import native
-    return native.nan_aggregate_axis0(layers.astype(np.float32),
-                                      agg='nanmedian')
+    # multithreaded native nth_element (io/native.py) for f32; f64 stacks
+    # stay on the exact numpy path
+    if layers.dtype == np.float32:
+        from neurite_tpu.io import native
+        return native.nan_aggregate_axis0(layers, agg='nanmedian')
+    with np.errstate(invalid='ignore'):
+        return np.nanmedian(layers, axis=0)
 
 
 def quilt_device(patches, patch_size, vol_shape, stride=None, agg='mean'):
@@ -116,10 +122,12 @@ def quilt_device(patches, patch_size, vol_shape, stride=None, agg='mean'):
 
     patches: [P, *patch_size, ...] device array in the row-major grid order
         `patch_gen`/`patch_starts` produce.
-    agg: 'mean' (overlap average via sum + hit-count) or 'sum'. The host
-        `quilt` keeps the reference's nan-median semantics
-        (`seg.py:363-374`); median needs all overlapping layers resident,
-        which defeats the streaming form — use the host path for it.
+    agg: 'mean' (overlap average via sum + hit-count), 'nanmean' (same but
+        NaN-marked voxels — the pipeline's invalid-border convention — are
+        excluded from both sum and count), or 'sum'. The host `quilt` keeps
+        the reference's nan-MEDIAN semantics (`seg.py:363-374`); median
+        needs all overlapping layers resident, which defeats the streaming
+        form — use the host path for it.
 
     Implementation: a `lax.scan` of dynamic_update_slice accumulate — a
     contiguous block write per patch, not a scattered gather/scatter (the
@@ -128,7 +136,7 @@ def quilt_device(patches, patch_size, vol_shape, stride=None, agg='mean'):
     import jax
     import jax.numpy as jnp
 
-    assert agg in ('mean', 'sum'), agg
+    assert agg in ('mean', 'nanmean', 'sum'), agg
     patches = jnp.asarray(patches)
     ndims = len(vol_shape)
     axis_starts, psize = patch_starts(vol_shape, patch_size, stride)
@@ -138,8 +146,10 @@ def quilt_device(patches, patch_size, vol_shape, stride=None, agg='mean'):
         f'{patches.shape[0]} patches != {len(starts)} grid positions'
     trailing = patches.shape[1 + ndims:]
 
+    nan_skip = agg == 'nanmean'
     acc = jnp.zeros((*vol_shape, *trailing), patches.dtype)
-    cnt = jnp.zeros(vol_shape, jnp.float32)
+    cnt = jnp.zeros((*vol_shape, *trailing) if nan_skip else vol_shape,
+                    jnp.float32)
     ones = jnp.ones(tuple(psize), jnp.float32)
     zeros_t = (jnp.int32(0),) * len(trailing)
 
@@ -147,14 +157,23 @@ def quilt_device(patches, patch_size, vol_shape, stride=None, agg='mean'):
         acc, cnt = carry
         patch, st = inp
         idx = tuple(st[d] for d in range(ndims))
+        if nan_skip:
+            valid = jnp.logical_not(jnp.isnan(patch))
+            patch = jnp.where(valid, patch, jnp.zeros_like(patch))
+            hits = valid.astype(jnp.float32)
+            cidx = idx + zeros_t
+        else:
+            hits = ones
+            cidx = idx
         cur = jax.lax.dynamic_slice(acc, idx + zeros_t, patch.shape)
         acc = jax.lax.dynamic_update_slice(acc, cur + patch, idx + zeros_t)
-        curc = jax.lax.dynamic_slice(cnt, idx, ones.shape)
-        cnt = jax.lax.dynamic_update_slice(cnt, curc + ones, idx)
+        curc = jax.lax.dynamic_slice(cnt, cidx, hits.shape)
+        cnt = jax.lax.dynamic_update_slice(cnt, curc + hits, cidx)
         return (acc, cnt), 0
 
     (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (patches, starts))
-    if agg == 'mean':
-        cnt = cnt.reshape(cnt.shape + (1,) * len(trailing))
-        acc = acc / cnt.astype(acc.dtype)
+    if agg in ('mean', 'nanmean'):
+        if not nan_skip:
+            cnt = cnt.reshape(cnt.shape + (1,) * len(trailing))
+        acc = acc / cnt.astype(acc.dtype)   # all-NaN coverage -> NaN (0/0)
     return acc

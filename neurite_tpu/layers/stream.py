@@ -55,8 +55,9 @@ class MeanStream(nn.Module):
             return scale * jnp.broadcast_to(mean.value[None],
                                             (batch, *mean.value.shape))
 
+        an = None if self.is_initializing() else self.axis_name
         new_mean, new_count = _mean_update(mean.value, count.value, x,
-                                           float(self.cap), self.axis_name)
+                                           float(self.cap), an)
         if not self.is_initializing():
             mean.value = new_mean
             count.value = new_count
@@ -91,8 +92,9 @@ class CovStream(nn.Module):
             return scale * jnp.broadcast_to(cov.value[None],
                                             (batch, v, v))
 
+        an = None if self.is_initializing() else self.axis_name
         new_mean, new_count = _mean_update(mean.value, count.value, x,
-                                           float(self.cap), self.axis_name)
+                                           float(self.cap), an)
         this_bs = jnp.asarray(batch, jnp.float32)
         prev_count = count.value
 
@@ -100,9 +102,9 @@ class CovStream(nn.Module):
         c_delta = jnp.einsum('bi,bj->bij', x_flat, x_flat)  # B x V x V
 
         c_sum = jnp.sum(c_delta, 0)
-        if self.axis_name is not None:
-            c_sum = jax.lax.psum(c_sum, self.axis_name)
-            this_bs = jax.lax.psum(this_bs, self.axis_name)
+        if an is not None:
+            c_sum = jax.lax.psum(c_sum, an)
+            this_bs = jax.lax.psum(this_bs, an)
         prev_cap = jnp.minimum(prev_count, self.cap)
         c = cov.value * (prev_cap - 1) + c_sum
         new_cov = c / (prev_cap + this_bs - 1)

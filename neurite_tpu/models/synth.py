@@ -278,12 +278,14 @@ class LabelsToImage(nn.Module):
         # < 256 — instead of XLA's scattered gather (measured ~3x on v5e).
         labels_vals = (self.labels_in if not isinstance(self.labels_in, dict)
                        else self.labels_in.keys())
-        aff_bounded = (self.aff_rotate == 0 and self.aff_scale == 0
-                       and self.aff_shear == 0 and not self.axes_swap
-                       and not self.half_res)
+        # per-axis (sequence) bounds are valid draw configs — reduce to the
+        # max before comparing (a bare `bound == 0` is ambiguous for arrays
+        # and silently False for tuples)
         rot_b = float(np.max(self.aff_rotate))
         scale_b = float(np.max(self.aff_scale))
         shear_b = float(np.max(self.aff_shear))
+        aff_bounded = (rot_b == 0 and scale_b == 0 and shear_b == 0
+                       and not self.axes_swap and not self.half_res)
         base_ok = (num_dim == 3 and max(labels_vals) < 256
                    and not self.axes_swap and not self.half_res)
         # rotation/scale/shear need the shear-decomposed engine (the plain

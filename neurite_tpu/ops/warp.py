@@ -24,9 +24,9 @@ def _split_bf16(x):
 
 
 def _dot_bf16x2(a, b):
-    """f32-grade matmul from three bf16 MXU passes (hi*hi + hi*lo + lo*hi;
-    the lo*lo term is ~2^-32 and dropped) — about half the cost of the
-    6-pass f32/HIGHEST lowering on TPU."""
+    """~1e-5-relative matmul from three bf16 MXU passes (hi*hi + hi*lo +
+    lo*hi; the lo*lo term is dropped and lo is itself bf16-rounded) —
+    about half the cost of the 6-pass f32/HIGHEST lowering on TPU."""
     ah, al = _split_bf16(a)
     bh, bl = _split_bf16(b)
     dot = lambda x, y: jax.lax.dot(x, y,                     # noqa: E731
@@ -88,8 +88,10 @@ def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
         matmuls at full MXU bf16 rate instead of the 8-pass f32 rate.
         The string 'bf16x2' selects split-float matmuls for the LINEAR
         path: operands split into bf16 hi+lo components, three bf16
-        passes (hi*hi + hi*lo + lo*hi) recover ~1e-7 relative accuracy —
-        half the cost of the f32/HIGHEST lowering.
+        passes (hi*hi + hi*lo + lo*hi) measure ~1e-5 relative accuracy
+        (the lo component is itself bf16-rounded, so recovered precision
+        is ~2^-17 per operand) — half the cost of the f32/HIGHEST
+        lowering, for callers whose tolerance allows it.
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
@@ -196,7 +198,6 @@ def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
             rows = jax.lax.dot(oh, slab2,
                                precision=jax.lax.Precision.HIGHEST)
         rows = rows.reshape(P, Sx, C)
-        lin = interp_method == 'linear'
         xl = (jnp.clip(lo_p[:, 2] - x0, 0, max(Sx - (2 if lin else 1), 0))
               if bx is not None else lo_p[:, 2])[:, None]
         if interp_method == 'linear':

@@ -191,3 +191,28 @@ class TestQuiltDevice:
                                   stride=(2, 2), agg='sum')
         # center cells are covered by all four patches
         assert float(np.asarray(got)[2, 2]) == 4.0
+
+    def test_nanmean_skips_nan_voxels(self):
+        import jax.numpy as jnp
+        from neurite_tpu.io import tiling
+        vol = np.ones((6, 6), np.float32) * 2
+        patches = np.stack(list(tiling.patch_gen(vol, (4, 4), stride=(2, 2))))
+        patches[0, 2, 2] = np.nan   # invalid voxel at global (2,2), covered
+        patches[0, 0, 0] = np.nan   # all-NaN coverage at global (0,0)
+        got = tiling.quilt_device(jnp.asarray(patches), (4, 4), (6, 6),
+                                  stride=(2, 2), agg='nanmean')
+        assert float(np.asarray(got)[2, 2]) == 2.0   # NaN excluded
+        assert np.isnan(np.asarray(got)[0, 0])       # no valid cover -> NaN
+        # plain 'mean' would poison the overlapped voxel
+        got2 = tiling.quilt_device(jnp.asarray(patches), (4, 4), (6, 6),
+                                   stride=(2, 2), agg='mean')
+        assert np.isnan(np.asarray(got2)[2, 2])
+
+    def test_host_quilt_preserves_float64(self):
+        from neurite_tpu.io import tiling
+        rng = np.random.default_rng(5)
+        vol = rng.normal(size=(8, 8)).astype(np.float64)
+        patches = list(tiling.patch_gen(vol, (4, 4), stride=(4, 4)))
+        out = tiling.quilt(patches, (4, 4), (8, 8), stride=(4, 4))
+        assert out.dtype == np.float64
+        np.testing.assert_allclose(out, vol)
