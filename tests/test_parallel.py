@@ -148,6 +148,8 @@ def test_mean_stream_axis_name_matches_global_batch():
     _, want = single.apply(v, x, training=True, mutable=['stream_stats'])
 
     sharded = ne.layers.MeanStream(cap=10, axis_name='data')
+    # init outside shard_map must work (no psum while initializing)
+    v = sharded.init(jax.random.PRNGKey(0), x, training=True)
     mesh = Mesh(np.asarray(jax.devices()[:4]), ('data',))
 
     def step(xs):
@@ -174,6 +176,7 @@ def test_cov_stream_axis_name_matches_global_batch():
     _, want = single.apply(v, x, training=True, mutable=['stream_stats'])
 
     sharded = ne.layers.CovStream(cap=10, axis_name='data')
+    v = sharded.init(jax.random.PRNGKey(0), x, training=True)
     mesh = Mesh(np.asarray(jax.devices()[:4]), ('data',))
 
     def step(xs):
