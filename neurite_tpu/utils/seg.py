@@ -170,3 +170,61 @@ def _quilt(patches, patch_size, vol_shape, stride, nan_func='nanmedian'):
     patches = np.asarray(patches, np.float64)
     return tiling.quilt(patches, patch_size, tuple(vol_shape), stride,
                         agg=agg)
+
+
+def predict_volume_device(apply_fn, vol, patch_size, stride=None,
+                          agg='mean'):
+    """
+    Whole-volume patch inference entirely ON DEVICE: one jit-friendly
+    `lax.scan` slices each patch (`dynamic_slice`), applies the model, and
+    accumulates the overlap-mean quilt — no host round trip per patch
+    (the reference's `predict_volumes` loop is host-driven,
+    `seg.py:138-227`; this is the TPU-native serving form, composable
+    under jit/pjit).
+
+    apply_fn: [1, *patch_size, C_in] -> [1, *patch_size, C_out]
+        (a jitted/traceable model apply closed over its params).
+    vol: [*vol_shape, C_in]; agg: 'mean' or 'sum' overlap aggregation.
+    Returns [*vol_shape, C_out].
+    """
+    import jax
+
+    from neurite_tpu.io import tiling
+
+    assert agg in ('mean', 'sum'), agg
+    vol = jnp.asarray(vol)
+    ndims = len(patch_size)
+    assert vol.ndim == ndims + 1, (vol.shape, patch_size)
+    vol_shape = vol.shape[:-1]
+    axis_starts, psize = tiling.patch_starts(vol_shape, patch_size, stride)
+    import itertools as _it
+    starts = np.asarray(list(_it.product(*axis_starts)), np.int32)
+
+    out_c = jax.eval_shape(
+        apply_fn, jax.ShapeDtypeStruct((1, *psize, vol.shape[-1]),
+                                       vol.dtype)).shape[-1]
+    out_dtype = jax.eval_shape(
+        apply_fn, jax.ShapeDtypeStruct((1, *psize, vol.shape[-1]),
+                                       vol.dtype)).dtype
+
+    acc = jnp.zeros((*vol_shape, out_c), out_dtype)
+    cnt = jnp.zeros(vol_shape, jnp.float32)
+    ones = jnp.ones(tuple(psize), jnp.float32)
+
+    def body(carry, st):
+        acc, cnt = carry
+        idx = tuple(st[d] for d in range(ndims))
+        patch = jax.lax.dynamic_slice(
+            vol, idx + (jnp.int32(0),), (*psize, vol.shape[-1]))
+        pred = apply_fn(patch[None])[0]
+        cur = jax.lax.dynamic_slice(acc, idx + (jnp.int32(0),), pred.shape)
+        acc = jax.lax.dynamic_update_slice(acc, cur + pred,
+                                           idx + (jnp.int32(0),))
+        curc = jax.lax.dynamic_slice(cnt, idx, ones.shape)
+        cnt = jax.lax.dynamic_update_slice(cnt, curc + ones, idx)
+        return (acc, cnt), 0
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.asarray(starts))
+    if agg == 'mean':
+        acc = acc / cnt[..., None].astype(acc.dtype)
+    return acc
