@@ -73,6 +73,26 @@ def test_dp_plus_spatial_matches(setup):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_sharded_train_step_traces_once(setup):
+    """Regression (round-1 VERDICT weak #4): the jit wrapper must be built
+    once, not per call — N calls with the same batch structure = 1 trace."""
+    state, step, batch = setup
+    traces = []
+
+    def counting_step(st, b, rng):
+        traces.append(1)
+        return step(st, b, rng)
+
+    mesh = create_mesh(data=4, space=2)
+    run = make_sharded_train_step(counting_step, mesh, space_axis=1,
+                                  donate_state=False)
+    sharded = shard_batch(batch, mesh, space_axis=1)
+    st = state
+    for i in range(3):
+        st, _ = run(st, sharded, jax.random.PRNGKey(i))
+    assert len(traces) == 1, f'expected 1 trace for 3 calls, got {len(traces)}'
+
+
 def test_spatially_sharded_interpn():
     """interpn under spatial sharding (resize use case) stays correct."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -139,7 +159,7 @@ def test_mean_stream_axis_name_matches_global_batch():
     """MeanStream under shard_map with axis_name must equal the
     single-device update on the full batch (SURVEY §7.3: psum of batch sums
     before the cap-weighted update)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 5)), jnp.float32)
@@ -167,7 +187,7 @@ def test_mean_stream_axis_name_matches_global_batch():
 
 
 def test_cov_stream_axis_name_matches_global_batch():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 4)), jnp.float32)
