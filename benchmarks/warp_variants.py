@@ -1,0 +1,80 @@
+"""
+Unbounded-warp engine shootout (VERDICT r2 item 4): measure the one-hot
+window engine's x-tiled and bf16x2 variants against the flat gather chain on
+the bench's +-3 uniform displacement field at 128^3.
+
+Usage: python benchmarks/warp_variants.py [variant ...]
+Variants: gather oh88 oh88x2 oh8864 oh8864x2 oh8832x2 (default: all)
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, '.')
+import neurite_tpu as ne  # noqa: E402
+from neurite_tpu.ops import warp as warp_ops  # noqa: E402
+
+
+def fit_chain(fn, x0, n1=1, n2=3):
+    def chain(n):
+        @jax.jit
+        def g(v):
+            for _ in range(n):
+                v = fn(v)
+            return v
+        return g
+    outs = []
+    for g in (chain(n1), chain(n2)):
+        r = g(x0)
+        _ = np.asarray(r.ravel()[:1])
+        t0 = time.time()
+        r = g(x0)
+        _ = np.asarray(r.ravel()[:1])
+        outs.append(time.time() - t0)
+    return (outs[1] - outs[0]) / (n2 - n1)
+
+
+def main():
+    wv = 128
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(wv, wv, wv, 1)), jnp.float32)
+    base = jnp.stack(ne.utils.volshape_to_ndgrid((wv,) * 3),
+                     -1).astype(jnp.float32)
+    shift = jnp.asarray(rng.uniform(-3, 3, size=(wv, wv, wv, 3)), jnp.float32)
+    loc = base + shift
+
+    variants = {
+        'gather': lambda v: ne.utils.interpn(v, loc),
+        'oh88': lambda v: warp_ops.interpn_onehot(
+            v, loc, max_disp=3.0, block=(8, 8)),
+        'oh88x2': lambda v: warp_ops.interpn_onehot(
+            v, loc, max_disp=3.0, block=(8, 8), matmul_dtype='bf16x2'),
+        'oh8864': lambda v: warp_ops.interpn_onehot(
+            v, loc, max_disp=3.0, block=(8, 8, 64)),
+        'oh8864x2': lambda v: warp_ops.interpn_onehot(
+            v, loc, max_disp=3.0, block=(8, 8, 64), matmul_dtype='bf16x2'),
+        'oh8832x2': lambda v: warp_ops.interpn_onehot(
+            v, loc, max_disp=3.0, block=(8, 8, 32), matmul_dtype='bf16x2'),
+    }
+    want = sys.argv[1:] or list(variants)
+
+    ref = None
+    for name in want:
+        fn = variants[name]
+        out = jax.jit(fn)(vol)
+        out_np = np.asarray(out)
+        if ref is None and name == 'gather':
+            ref = out_np
+        err = (np.abs(out_np - ref).max() if ref is not None else float('nan'))
+        t = fit_chain(fn, vol)
+        print(f'{name:10s} {1e3 * t:8.2f} ms  '
+              f'{wv ** 3 / t / 1e9:6.3f} Gvox/s  maxerr={err:.2e}',
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -24,6 +24,7 @@ from neurite_tpu.ops.resize_mm import (  # noqa: F401
 )
 from neurite_tpu.ops.warp import (interpn_cube, interpn_onehot,  # noqa: F401
                                   interpn_rows, interpn_shear_onehot,
+                                  interpn_window, block_spread_ok,
                                   shear_bound, shear_window_disp)
 from neurite_tpu.ops.im2col import conv_im2col  # noqa: F401
 from neurite_tpu.ops.zdecomp import conv_z2d  # noqa: F401

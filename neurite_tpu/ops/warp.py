@@ -237,6 +237,113 @@ def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
     return outs
 
 
+def block_spread_ok(loc, vol_shape, interp_method='linear',
+                    block=(8, 8), pad=5):
+    """
+    Runtime guard for `interpn_onehot`'s window contract: True iff every
+    output block's source-index spread fits the static window
+    `block + 2*pad` on every axis, i.e. the engine's result is EXACT.
+
+    loc: [B, *out_spatial, 3] absolute coordinates (already batched);
+    vol_shape: (D, H, W) of the source volume; block/pad must match the
+    engine call (`pad = ceil(max_disp) + 1`).
+    """
+    D, H, W = vol_shape
+    maxl = jnp.asarray([D - 1., H - 1., W - 1.], jnp.float32)
+    cl = jnp.clip(jnp.asarray(loc, jnp.float32), 0., maxl)
+    if interp_method == 'linear':
+        lo = jnp.clip(jnp.floor(cl), 0., jnp.maximum(maxl - 1., 0.))
+        need = 2  # engine clamps local idx to S-2 (the +1 tap)
+    else:
+        lo = jnp.round(cl)
+        need = 1
+    lo_i = lo.astype(jnp.int32)
+
+    B = lo_i.shape[0]
+    Do, Ho, Wo = lo_i.shape[1:-1]
+    bz, by = block[0], block[1]
+    bx = block[2] if len(block) > 2 else None
+    pz, py = (-Do) % bz, (-Ho) % by
+    px = 0 if bx is None else (-Wo) % bx
+    if pz or py or px:
+        lo_i = jnp.pad(lo_i, [(0, 0), (0, pz), (0, py), (0, px), (0, 0)],
+                       mode='edge')
+    nbz, nby = (Do + pz) // bz, (Ho + py) // by
+    bxe = Wo + px if bx is None else bx
+    nbx = 1 if bx is None else (Wo + px) // bx
+    blk = lo_i.reshape(B, nbz, bz, nby, by, nbx, bxe, 3)
+    mn = blk.min(axis=(2, 4, 6))
+    mx = blk.max(axis=(2, 4, 6))
+    spread = mx - mn                                   # [B, nbz, nby, nbx, 3]
+    S = jnp.asarray([min(bz + 2 * pad, D), min(by + 2 * pad, H),
+                     (W if bx is None else min(bx + 2 * pad, W))], jnp.int32)
+    # x without tiling is never windowed (full rows) — no constraint
+    if bx is None:
+        spread = spread[..., :2]
+        S = S[:2]
+    return jnp.all(spread <= S - need)
+
+
+def interpn_window(vol, loc, interp_method='linear', fill_value=None,
+                   block=(8, 8, 64), window_pad=5, matmul_dtype=None):
+    """
+    UNBOUNDED-exact general warp: the block-windowed one-hot MXU engine
+    (`interpn_onehot`) guarded by a runtime spread check, falling back to the
+    flat gather chain (`utils.interpn`, reference algorithm
+    `neurite/tf/utils/utils.py:73-220`) via `lax.cond` for the rare fields
+    whose *within-block* source spread exceeds the static window.
+
+    The engine's windows have dynamic per-block starts (the block's own
+    minimum source index), so correctness needs only LOCAL smoothness: a
+    block of output points must read sources within a `block + 2*window_pad`
+    box. Global displacement magnitude is irrelevant — translations of any
+    size are exact. Real deformations (blurred SVFs, integrated flows,
+    resampling grids) satisfy this by construction; white-noise fields with
+    amplitude > ~window_pad do not, and take the exact fallback.
+
+    Cost note: per-point MXU work is O(window_volume); the default
+    (8, 8, 64)+pad-5 window measures ~5x the flat gather at 128^3 C=1 on
+    v5e while staying exact for arbitrary inputs (benchmarks/warp_variants.py).
+
+    vol/loc/fill_value/interp_method: exactly as `utils.interpn` (3-D only).
+    matmul_dtype: None = f32 (exact); 'bf16x2' trades ~1e-5 relative error
+        for ~2x matmul rate (see `interpn_onehot`).
+    """
+    if isinstance(loc, (list, tuple)):
+        loc = jnp.stack(loc, -1)
+    assert loc.shape[-1] == 3, 'interpn_window is the 3-D engine'
+    vol = jnp.asarray(vol)
+
+    batched = loc.ndim == 5
+    loc_b = loc if batched else loc[None]
+    vol_b = vol if batched else vol[None]
+    vol_shape = vol_b.shape[1:4]
+
+    ok = block_spread_ok(loc_b, vol_shape, interp_method=interp_method,
+                         block=block, pad=window_pad)
+
+    def fast(args):
+        v, l = args
+        return interpn_onehot(v, l, interp_method=interp_method,
+                              fill_value=fill_value,
+                              max_disp=float(window_pad) - 1.,
+                              block=block, matmul_dtype=matmul_dtype)
+
+    def slow(args):
+        v, l = args
+        from neurite_tpu.utils import core
+        if batched:
+            return jax.vmap(
+                lambda vv, ll: core.interpn(
+                    vv, ll, interp_method=interp_method,
+                    fill_value=fill_value))(v, l)
+        return core.interpn(v[0], l[0], interp_method=interp_method,
+                            fill_value=fill_value)[None]
+
+    out = jax.lax.cond(ok, fast, slow, (vol_b, loc_b))
+    return out if batched else out[0]
+
+
 def interpn_rows(vol, loc, interp_method='linear', fill_value=None):
     """
     3-D warp via ROW gathers: fetch the full contiguous x-row (lane axis) for

@@ -85,9 +85,10 @@ def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto',
     Parity: reference `neurite/tf/utils/utils.py:73-220`. The reference unrolls a
     2^N-corner gather chain over flat indices (`sub2ind2d` + `tf.gather`); we keep
     the same math (identical corner weights and clipping, so outputs match to
-    float tolerance) but express it as flat jnp gathers that XLA fuses. The fused
-    single-pass Pallas kernel for the 3-D hot path lives in
-    `neurite_tpu.ops.pallas.interp` and is validated against this implementation.
+    float tolerance) but express it as flat jnp gathers that XLA fuses. TPU fast
+    paths for the 3-D case live in `neurite_tpu.ops.warp`: `impl='window'` is the
+    unbounded-exact block-windowed MXU engine with gather fallback
+    (`interpn_window`), `impl='onehot'` the bounded-displacement engine.
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
@@ -114,6 +115,15 @@ def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto',
         return warp_ops.interpn_onehot(vol, loc, interp_method=interp_method,
                                        fill_value=fill_value,
                                        max_disp=max_disp, block=block)
+
+    # impl='window' is the UNBOUNDED-exact engine: dynamic per-block windows
+    # + runtime spread guard + gather-chain fallback (ops.warp.interpn_window).
+    if (impl == 'window' and nb_dims == 3 and vol.ndim in (3, 4, 5)):
+        from neurite_tpu.ops import warp as warp_ops
+        blk = block if len(block) > 2 else (block[0], block[1], 64)
+        return warp_ops.interpn_window(
+            vol, loc, interp_method=interp_method, fill_value=fill_value,
+            block=blk, window_pad=int(np.ceil(max_disp)) + 1)
 
     if vol.ndim not in (nb_dims, nb_dims + 1):
         raise ValueError(

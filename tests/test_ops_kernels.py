@@ -510,3 +510,66 @@ def test_interpn_onehot_bf16x2_linear_accuracy():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
     err = np.abs(np.asarray(got) - np.asarray(want)).max()
     assert err < 1e-4, err
+
+
+# ------------------------------------------------------ unbounded window warp
+@pytest.mark.parametrize('method', ['linear', 'nearest'])
+@pytest.mark.parametrize('fill', [None, 0.0])
+def test_interpn_window_smooth_field_fast_path(method, fill):
+    """Smooth bounded field: spread guard passes, engine path is exact."""
+    vol = jnp.asarray(rng.normal(size=(12, 11, 10, 2)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((12, 11, 10)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-2., 2., size=(12, 11, 10, 3)),
+                             jnp.float32)
+    assert bool(ops.block_spread_ok(loc[None], (12, 11, 10), method,
+                                    (4, 4, 4), 4))
+    want = core.interpn(vol, loc, interp_method=method, fill_value=fill)
+    got = ops.interpn_window(vol, loc, interp_method=method, fill_value=fill,
+                             block=(4, 4, 4), window_pad=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_window_adversarial_fallback_exact():
+    """White-noise amplitude >> window: guard trips, gather fallback exact."""
+    vol = jnp.asarray(rng.normal(size=(16, 16, 16)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((16, 16, 16)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-9., 9., size=(16, 16, 16, 3)),
+                             jnp.float32)
+    assert not bool(ops.block_spread_ok(loc[None], (16, 16, 16), 'linear',
+                                        (4, 4, 4), 3))
+    want = core.interpn(vol, loc, fill_value=0.)
+    got = jax.jit(lambda v, l: ops.interpn_window(
+        v, l, fill_value=0., block=(4, 4, 4), window_pad=3))(vol, loc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_window_translation_unbounded_exact():
+    """Global translation far beyond the window: dynamic starts absorb it."""
+    vol = jnp.asarray(rng.normal(size=(16, 14, 12)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((16, 14, 12)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray([9.3, -6.2, 5.1], jnp.float32)
+    assert bool(ops.block_spread_ok(loc[None], (16, 14, 12), 'linear',
+                                    (4, 4, 4), 3))
+    want = core.interpn(vol, loc, fill_value=0.)
+    got = ops.interpn_window(vol, loc, fill_value=0., block=(4, 4, 4),
+                             window_pad=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_window_batched_and_via_interpn():
+    vols = jnp.asarray(rng.normal(size=(2, 10, 10, 10, 1)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((10, 10, 10)), -1).astype(
+        jnp.float32)
+    locs = jnp.stack([base + 3.7, base - 2.2])
+    want = jnp.stack([core.interpn(vols[i], locs[i], fill_value=0.)
+                      for i in range(2)])
+    got = ops.interpn_window(vols, locs, fill_value=0., block=(4, 4, 4),
+                             window_pad=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    via = core.interpn(vols[0, ..., 0], locs[0], fill_value=0.,
+                       impl='window', max_disp=2.0, block=(4, 4, 4))
+    np.testing.assert_allclose(np.asarray(via), np.asarray(want[0, ..., 0]),
+                               atol=1e-5)
