@@ -14,6 +14,6 @@ from neurite_tpu.utils import seg  # noqa: F401
 from neurite_tpu.utils import vae  # noqa: F401
 from neurite_tpu.utils import model  # noqa: F401
 from neurite_tpu.utils.model import (  # noqa: F401
-    stack_models, mod_submodel, reset_weights, copy_weights, diagram,
-    param_count,
+    stack_models, mod_submodel, sub_apply, module_paths, reset_weights,
+    copy_weights, diagram, param_count,
 )

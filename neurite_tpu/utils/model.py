@@ -34,16 +34,116 @@ def stack_models(apply_fns):
     return stacked
 
 
-def mod_submodel(*args, **kwargs):
+def module_paths(model, rng, sample_input, **apply_kwargs):
     """
-    Reference `mod_submodel` (`model.py:86-249`) cut keras graphs at named
-    layers. In functional JAX the capability is first-class: models expose
-    explicit sub-applies (e.g. `AE.__call__(mode='encode'/'decode')`,
-    `unet` encoder/decoder modules), so there is no graph to mutate.
+    List the '/'-joined module paths of every submodule reachable from a
+    forward pass — the names accepted by `sub_apply`/`mod_submodel`
+    (analogue of inspecting reference keras `model.layers` names).
     """
-    raise NotImplementedError(
-        'mod_submodel is keras graph surgery; use the explicit sub-apply '
-        "modes instead (e.g. model.apply(vars, x, mode='encode'))")
+    variables = model.init(rng, jnp.asarray(sample_input), **apply_kwargs)
+    _, state = model.apply(variables, jnp.asarray(sample_input),
+                           capture_intermediates=True,
+                           mutable=['intermediates'], **apply_kwargs)
+
+    paths = []
+
+    def walk(tree, prefix):
+        for key, val in tree.items():
+            if key == '__call__':
+                paths.append('/'.join(prefix))
+            elif isinstance(val, dict):
+                walk(val, prefix + [key])
+
+    walk(state['intermediates'], [])
+    return sorted(p for p in paths if p)
+
+
+def _navigate(tree, path):
+    node = tree
+    for part in path.split('/'):
+        if part not in node:
+            raise KeyError(
+                f'module path {path!r} not found; available: '
+                f'{sorted(k for k in node if k != "__call__")}')
+        node = node[part]
+    if '__call__' not in node:
+        raise KeyError(f'{path!r} has no captured output')
+    out = node['__call__']
+    return out[0] if isinstance(out, tuple) and len(out) == 1 else out
+
+
+def sub_apply(model, variables, inputs, until=None, inject=None, rngs=None,
+              **apply_kwargs):
+    """
+    Run `model` cut at arbitrary interior modules — the functional
+    replacement for reference `mod_submodel` keras graph surgery
+    (`neurite/tf/utils/model.py:86-249`).
+
+    until: module path ('enc/conv_down_1_0') or list of paths — return that
+        module's OUTPUT (feature tap) instead of the model output; a list
+        returns a dict {path: value}. Implemented with flax
+        capture_intermediates.
+    inject: dict {module path: value} — REPLACE the named modules' outputs
+        with the given values (input-side cut: everything downstream sees the
+        injected value; the module itself is never executed, and under jit
+        XLA dead-code-eliminates the now-unused upstream). `inputs` then only
+        sets shapes for the bypassed branch (zeros of the right shape work).
+    Both combine: `sub_apply(m, v, dummy_x, until='dec/level_2',
+    inject={'mid': z})` is "decoder from z, tapped mid-decoder".
+    """
+    import flax.linen as nn
+
+    paths = ([until] if isinstance(until, str) else
+             list(until) if until is not None else [])
+
+    def run():
+        if paths:
+            out, state = model.apply(
+                variables, inputs, rngs=rngs,
+                capture_intermediates=lambda mdl, _:
+                    '/'.join(mdl.path) in paths,
+                mutable=['intermediates'], **apply_kwargs)
+            taps = {p: _navigate(state['intermediates'], p) for p in paths}
+            return taps[until] if isinstance(until, str) else taps
+        return model.apply(variables, inputs, rngs=rngs, **apply_kwargs)
+
+    if not inject:
+        return run()
+
+    def interceptor(next_fun, args, kwargs, context):
+        key = '/'.join(context.module.path)
+        if key in inject and context.method_name == '__call__':
+            return inject[key]
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        return run()
+
+
+def mod_submodel(model, variables, sample_input, from_layer=None,
+                 to_layer=None, rngs=None, **apply_kwargs):
+    """
+    Build a callable sub-model cut between two module paths — signature
+    parity with reference `mod_submodel` (`model.py:86-249`: new_input_nodes
+    -> `from_layer` injection point, output cut -> `to_layer` tap).
+
+    Returns `fn(value)` mapping an activation for `from_layer`'s output to
+    `to_layer`'s output (or the model output when `to_layer` is None). When
+    `from_layer` is None the sub-model consumes regular model inputs.
+    `sample_input` fixes the shapes of the bypassed input branch.
+    """
+    dummy = jnp.asarray(sample_input)
+
+    def fn(value=None):
+        if from_layer is not None:
+            return sub_apply(model, variables, dummy, until=to_layer,
+                             inject={from_layer: value}, rngs=rngs,
+                             **apply_kwargs)
+        inputs = dummy if value is None else jnp.asarray(value)
+        return sub_apply(model, variables, inputs, until=to_layer,
+                         rngs=rngs, **apply_kwargs)
+
+    return fn
 
 
 def reset_weights(model, rng, sample_input, **init_kwargs):

@@ -172,9 +172,66 @@ class TestModelUtils:
         f = ne.utils.stack_models([lambda x: x + 1, lambda x: x * 2])
         assert f(3) == 8
 
-    def test_mod_submodel_raises(self):
-        with pytest.raises(NotImplementedError):
-            ne.utils.mod_submodel()
+    def test_module_paths_lists_interior_modules(self):
+        model = ne.models.unet(nb_features=4, input_shape=(8, 8, 1),
+                               nb_levels=2, conv_size=3, nb_labels=2)
+        paths = ne.utils.module_paths(model, jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 8, 8, 1)))
+        assert 'enc' in paths and 'dec' in paths
+        assert any(p.startswith('enc/') for p in paths)
+
+    def test_sub_apply_tap_unet_arbitrary_level(self):
+        """Feature tap at an arbitrary interior module (encoder level 1) —
+        the capability reference mod_submodel provided via graph surgery."""
+        model = ne.models.unet(nb_features=4, input_shape=(8, 8, 1),
+                               nb_levels=2, conv_size=3, nb_labels=2)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 1)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        paths = ne.utils.module_paths(model, jax.random.PRNGKey(0), x)
+        enc_convs = [p for p in paths if p.startswith('enc/')]
+        tap = ne.utils.sub_apply(model, v, x, until='enc')
+        # ConvEnc returns (bottleneck, skips): tap is that exact value
+        bott, skips = tap
+        assert bott.shape[0] == 2 and bott.shape[-1] == 4
+        assert len(skips) == 2
+        # multi-tap returns a dict
+        taps = ne.utils.sub_apply(model, v, x, until=[enc_convs[0], 'enc'])
+        assert set(taps) == {enc_convs[0], 'enc'}
+
+    def test_sub_apply_inject_matches_decode_mode(self):
+        """Input-side cut on the AE: injecting z at 'mid' must equal the
+        explicit decode mode (extract_z_dec on arbitrary architectures)."""
+        model = ne.models.ae(nb_features=4, input_shape=(8, 8, 1),
+                             nb_levels=2, conv_size=3, nb_labels=1,
+                             enc_size=[5], ae_type='dense',
+                             final_pred_activation='linear')
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 1)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        mid_out = ne.utils.sub_apply(model, v, x, until='mid')
+        want = model.apply(v, x)
+        # inject mid's output with a dummy input: downstream-only execution
+        got = ne.utils.sub_apply(model, v, jnp.zeros_like(x),
+                                 inject={'mid': mid_out})
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_mod_submodel_cut_fn(self):
+        model = ne.models.unet(nb_features=4, input_shape=(8, 8, 1),
+                               nb_levels=2, conv_size=3, nb_labels=2)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 1)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        # decoder-from-bottleneck sub-model; jit-able
+        bott = ne.utils.sub_apply(model, v, x, until='enc')
+        dec_fn = ne.utils.mod_submodel(model, v, x, from_layer='enc')
+        out = jax.jit(dec_fn)(bott)
+        want = model.apply(v, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-5)
+        # tap-only sub-model consumes regular inputs
+        tap_fn = ne.utils.mod_submodel(model, v, x, to_layer='enc')
+        got_bott, got_skips = tap_fn(x)
+        np.testing.assert_allclose(np.asarray(got_bott), np.asarray(bott[0]),
+                                   atol=1e-5)
 
     def test_reset_and_copy_weights(self):
         model = ne.models.unet(nb_features=4, input_shape=(8, 8, 1),
