@@ -78,3 +78,29 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+def _window_variants():
+    """Extra variants: the guarded unbounded-exact engine."""
+    wv = 128
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(wv, wv, wv, 1)), jnp.float32)
+    base = jnp.stack(ne.utils.volshape_to_ndgrid((wv,) * 3),
+                     -1).astype(jnp.float32)
+    shift = jnp.asarray(rng.uniform(-3, 3, size=(wv, wv, wv, 3)), jnp.float32)
+    loc = base + shift
+    for name, fn in [
+        ('win8864', lambda v: warp_ops.interpn_window(
+            v, loc, block=(8, 8, 64), window_pad=4)),
+        ('win8864p5', lambda v: warp_ops.interpn_window(
+            v, loc, block=(8, 8, 64), window_pad=5)),
+        ('win1616128', lambda v: warp_ops.interpn_window(
+            v, loc, block=(16, 16, 128), window_pad=4)),
+    ]:
+        out = jax.jit(fn)(vol)
+        ref = np.asarray(ne.utils.interpn(vol, loc))
+        err = np.abs(np.asarray(out) - ref).max()
+        t = fit_chain(fn, vol)
+        print(f'{name:10s} {1e3 * t:8.2f} ms  '
+              f'{wv ** 3 / t / 1e9:6.3f} Gvox/s  maxerr={err:.2e}',
+              flush=True)
