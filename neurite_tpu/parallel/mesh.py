@@ -70,9 +70,36 @@ def shard_batch(batch, mesh: Mesh, space_axis: Optional[int] = 1):
     return jax.tree_util.tree_map(_place, batch)
 
 
+def state_shardings_for(state, mesh: Mesh, param_specs=None):
+    """
+    Sharding pytree for a train state: replicated by default, with
+    tensor/weight-parallel overrides from `param_specs` — a dict mapping a
+    path substring (as printed by `jax.tree_util.keystr`) to a
+    `PartitionSpec`. First matching entry wins. Example (LC head weights
+    sharded spatially, SURVEY §2.10 TP row):
+
+        {"['lc_head']['kernel']": P('space'), "['lc_head']['bias']": P('space')}
+    """
+    rep = replicated(mesh)
+    if not param_specs:
+        return jax.tree_util.tree_map(lambda _: rep, state)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    out = []
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        sharding = rep
+        for pat, spec in param_specs.items():
+            if pat in key:
+                sharding = NamedSharding(mesh, spec)
+                break
+        out.append(sharding)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def make_sharded_train_step(train_step, mesh: Mesh,
                             space_axis: Optional[int] = 1,
-                            donate_state: bool = True):
+                            donate_state: bool = True, param_specs=None):
     """
     Wrap a `neurite_tpu.training` step in jit with mesh shardings:
     replicated state, batch sharded over ('data', 'space'). XLA SPMD inserts
@@ -81,6 +108,12 @@ def make_sharded_train_step(train_step, mesh: Mesh,
 
     The step itself needs no pmean: with replicated-state output shardings,
     XLA reduces the (replicated) gradient update across the mesh.
+
+    param_specs: optional {path substring: PartitionSpec} overriding the
+    replicated default for matching state leaves (see `state_shardings_for`)
+    — the tensor/weight-parallel axis. Sharded params stay sharded through
+    the optimizer update (their opt_state moments match via the same spec),
+    so per-device parameter memory drops by the mesh-axis size.
     """
     rep = replicated(mesh)
     cache = {}  # (state_treedef, batch_treedef, batch_ndims) -> jitted fn
@@ -94,7 +127,7 @@ def make_sharded_train_step(train_step, mesh: Mesh,
                tuple(jnp.ndim(x) for x in jax.tree_util.tree_leaves(batch)))
         jitted = cache.get(key)
         if jitted is None:
-            state_shardings = jax.tree_util.tree_map(lambda _: rep, state)
+            state_shardings = state_shardings_for(state, mesh, param_specs)
             batch_shardings = jax.tree_util.tree_map(
                 lambda x: batch_sharding(mesh, jnp.ndim(x), space_axis),
                 batch)

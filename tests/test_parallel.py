@@ -208,3 +208,59 @@ def test_cov_stream_axis_name_matches_global_batch():
     np.testing.assert_allclose(np.asarray(cov),
                                np.asarray(want['stream_stats']['cov']),
                                rtol=1e-5)
+
+
+def test_lc_head_tensor_parallel_weights():
+    """TP/weight-parallel axis (SURVEY §2.10): the LocallyConnected3D head's
+    [V, k^3*Cin, Cout] kernel is per-voxel, so sharding V over 'space'
+    alongside the input's spatial sharding needs NO collectives for the
+    layer itself — per-device weight memory drops by the space factor.
+    Parity vs the unsharded step, and shard shapes verified."""
+    from jax.sharding import PartitionSpec as P
+    from neurite_tpu import parallel, training
+
+    import flax.linen as nn
+
+    size, cin, cout = 8, 2, 3
+
+    class LCHead(nn.Module):
+        @nn.compact
+        def __call__(self, x, training=False):
+            return ne.layers.LocallyConnected3D(
+                filters=cout, kernel_size=3, padding='same',
+                name='lc_head')(x)
+
+    model = LCHead()
+    rng_ = np.random.default_rng(3)
+    x = jnp.asarray(rng_.normal(size=(4, size, size, size, cin)), jnp.float32)
+    y = jnp.asarray(rng_.normal(size=(4, size, size, size, cout)),
+                    jnp.float32)
+    state = training.create_train_state(model, jax.random.PRNGKey(0), x,
+                                        optax.adam(1e-3))
+
+    def loss_fn(pred, target):
+        return jnp.mean((pred - target) ** 2)
+
+    step = training.make_train_step(lambda t, p: loss_fn(p, t))
+    s1, m1 = jax.jit(step)(state, (x, y), jax.random.PRNGKey(1))
+
+    mesh = parallel.create_mesh(data=4, space=2)
+    specs = {"['kernel']": P('space'), "['bias']": P('space')}
+    run = parallel.make_sharded_train_step(step, mesh, space_axis=1,
+                                           donate_state=False,
+                                           param_specs=specs)
+    s2, m2 = run(state, parallel.shard_batch((x, y), mesh, space_axis=1),
+                 jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.params['lc_head']['kernel']),
+                               np.asarray(s1.params['lc_head']['kernel']),
+                               rtol=2e-4, atol=2e-6)
+    # the kernel must actually live sharded: V/2 rows per device
+    k = s2.params['lc_head']['kernel']
+    V = size ** 3
+    shard_rows = {s.data.shape[0] for s in k.addressable_shards}
+    assert shard_rows == {V // 2}, shard_rows
+    # and its adam moments shard identically
+    mu = s2.opt_state[0].mu['lc_head']['kernel']
+    assert {s.data.shape[0] for s in mu.addressable_shards} == {V // 2}
