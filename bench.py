@@ -247,6 +247,13 @@ def main():
     loc = base_grid + shift
     warp_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(v, loc), wvol, 1, 2))
+    # UNBOUNDED-exact window engine (ops.warp.interpn_window: dynamic
+    # per-block windows + spread guard + gather fallback) — the headline
+    # general-warp path; exact for arbitrary fields
+    warp_win_s = with_deadline(
+        lambda: fit_chain(lambda v: ne.utils.interpn(
+            v, loc, impl='window', max_disp=3.0, block=(8, 8, 64)),
+            wvol, 1, 2))
     # bounded-displacement warp on the one-hot MXU engine: the loc field is
     # uniform +-3 so max_disp=3 makes it EXACT (ops.warp.interpn_onehot)
     warp_oh_s = with_deadline(
@@ -286,6 +293,9 @@ def main():
         'interpn_warp_gvoxps': (round(wv ** 3 / warp_s / 1e9, 3)
                                 if warp_s else None),
         'interpn_roofline_frac': interp_rf(warp_s),
+        'interpn_window_gvoxps': (round(wv ** 3 / warp_win_s / 1e9, 3)
+                                  if warp_win_s else None),
+        'interpn_window_roofline_frac': interp_rf(warp_win_s),
         'interpn_bounded_warp_gvoxps': (round(wv ** 3 / warp_oh_s / 1e9, 3)
                                         if warp_oh_s else None),
         'interpn_bounded_roofline_frac': interp_rf(warp_oh_s),

@@ -27,10 +27,18 @@ _tried = False
 
 
 def _build():
+    # per-process temp name: concurrent builders must not os.replace a file
+    # another g++ is still writing (a torn .so would pass the mtime check and
+    # poison every later run); the final rename stays atomic
+    tmp = f'{_SO}.{os.getpid()}.tmp'
     cmd = ['g++', '-O3', '-fPIC', '-shared', '-pthread', '-std=c++17',
-           _SRC, '-o', _SO + '.tmp']
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + '.tmp', _SO)
+           _SRC, '-o', tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -43,7 +51,13 @@ def _load():
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 _build()
-            lib = ctypes.CDLL(_SO)
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                # cached binary unloadable (e.g. corrupted by a legacy
+                # concurrent build) — rebuild once before giving up
+                _build()
+                lib = ctypes.CDLL(_SO)
             c_i64 = ctypes.c_int64
             c_i32 = ctypes.c_int32
             pf = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')
@@ -60,6 +74,20 @@ def _load():
         return _lib
 
 
+def _fits_int32(a):
+    """Values representable in int32? Otherwise the native cast would wrap
+    (e.g. a >= 2^31 label one-hotting a wrong class instead of the all-zero
+    row the numpy path produces) — fall back to numpy in that case."""
+    if a.size == 0 or np.issubdtype(a.dtype, np.bool_):
+        return True
+    if not np.issubdtype(a.dtype, np.integer):
+        return False
+    info = np.iinfo(np.int32)
+    if np.can_cast(a.dtype, np.int32):
+        return True
+    return bool((a.min() >= info.min) and (a.max() <= info.max))
+
+
 def available():
     """True when the native library loaded (or could be built)."""
     return _load() is not None
@@ -73,7 +101,8 @@ def one_hot(labels, nb_labels, dtype=np.float32):
     labels = np.asarray(labels)
     shape = labels.shape
     lib = _load()
-    if lib is not None and dtype in (np.float32, np.uint8, bool):
+    if (lib is not None and dtype in (np.float32, np.uint8, bool)
+            and _fits_int32(labels)):
         flat = np.ascontiguousarray(labels.reshape(-1), np.int32)
         if dtype == np.float32:
             out = np.empty((flat.size, nb_labels), np.float32)
@@ -113,7 +142,8 @@ def relabel(vol, labels):
     """Map each voxel value to its index in `labels` (0 when absent)."""
     vol = np.asarray(vol)
     lib = _load()
-    if lib is None or vol.dtype.kind not in 'iu':
+    if (lib is None or vol.dtype.kind not in 'iu' or not _fits_int32(vol)
+            or not _fits_int32(np.asarray(labels))):
         out = np.zeros(vol.shape, vol.dtype)
         for idx, val in enumerate(np.asarray(labels).reshape(-1)):
             out[vol == val] = idx

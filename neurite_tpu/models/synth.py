@@ -126,6 +126,9 @@ class LabelsToImage(nn.Module):
     # 4*warp_max; Gaussian-tail caveat in docs/DESIGN.md), and ~2x the whole
     # synth+train step; 'gather' = the reference-identical XLA gather chain
     warp_impl: str = 'auto'
+    # bound on the integrated SVF per axis at its NATIVE (integration)
+    # resolution — when not half_res the label warp's window is automatically
+    # doubled to cover the x2 rescale to full res
     warp_max_disp: Optional[float] = None
     # final nearest label warp: 'auto' = bf16 one-hot MXU engine whenever
     # statically eligible (3-D, translation/flip-only affine, labels < 256;
@@ -301,9 +304,17 @@ class LabelsToImage(nn.Module):
                 'swap/half_res, and rotation/scale/shear within 30deg/0.3 '
                 "(beyond that the source windows blow up); use 'auto'")
         route = self.label_warp_impl in ('auto', 'onehot')
-        wdisp_l = (self.warp_max_disp if self.warp_max_disp is not None
-                   else 4. * float(self.warp_max)) if self.warp_max > 0 \
-            else 1.0
+        # warp_max_disp bounds the integrated SVF at its NATIVE (integration)
+        # resolution; when not half_res the field is rescale_dense_transform'd
+        # x2 before the full-res label warp, doubling displacement magnitudes
+        # — so the label-warp window must be 2x the integration bound or
+        # out-of-window points would clamp to wrong labels (a tight
+        # user-supplied bound previously under-covered by 2x; the 4*warp_max
+        # default merely had margin).
+        rescale_fac = 1. if self.half_res else 2.
+        wdisp_l = rescale_fac * (
+            (self.warp_max_disp if self.warp_max_disp is not None
+             else 4. * float(self.warp_max)) if self.warp_max > 0 else 1.0)
         labels = labels.astype(compute_type)
         if eligible and route:
             labels = spatial.batch_transform(

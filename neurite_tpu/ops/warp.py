@@ -217,7 +217,16 @@ def interpn_onehot(vol, loc, interp_method='linear', fill_value=None,
             out = jnp.einsum('pwc,pw->pc', rows, sel)
         return carry, out
 
-    _, outs = jax.lax.scan(do_block, 0., (lo_b, w_b, b_idx))
+    # unroll k block bodies per scan iteration: each body's dynamic_slice +
+    # matmuls are independent, so unrolling lets XLA overlap slab fetches
+    # with MXU work across blocks (batch folds into the block axis, so this
+    # is also the batch-scaling lever — docs/DESIGN.md "Batch scaling")
+    import os as _os
+    unroll = int(_os.environ.get('NEURITE_WARP_UNROLL', '1'))
+    nb_total = lo_b.shape[0]
+    if unroll > 1 and nb_total % unroll != 0:
+        unroll = 1
+    _, outs = jax.lax.scan(do_block, 0., (lo_b, w_b, b_idx), unroll=unroll)
     outs = outs.reshape(B, nbz, nby, nbx, bz, by, bxe, C)
     outs = outs.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     outs = outs.reshape(B, nbz * bz, nby * by, nbx * bxe, C)[:, :Do, :Ho, :Wo]

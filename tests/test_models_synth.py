@@ -305,3 +305,27 @@ class TestLabelsToImage3DOneHotWarp:
         b = np.asarray(outs['onehot']['image'])
         mismatch = np.mean(~np.isclose(a, b, atol=1e-5))
         assert mismatch < 0.02, f'{mismatch:.4f} of voxels differ'
+
+
+class TestWarpBoundRescale:
+    def test_tight_user_bound_covers_full_res_label_warp(self):
+        """ADVICE r1 (medium): a user warp_max_disp that tightly bounds the
+        half-res integrated SVF must still cover the x2-rescaled full-res
+        label warp — the label-warp window doubles automatically. The
+        one-hot label warp must match the exact gather path."""
+        labels = jnp.asarray(
+            np.random.default_rng(9).integers(0, 5, size=(1, 16, 16, 16, 1)),
+            jnp.int32)
+        outs = {}
+        for impl in ('gather', 'auto'):
+            # warp_max=2 with a TIGHT bound 2.5 (default would be 8):
+            # post-rescale displacements reach ~2x the integration bound
+            model = ne.models.labels_to_image_new(
+                labels_in=list(range(5)), in_shape=(16, 16, 16),
+                warp_min=1.5, warp_max=2.0, warp_max_disp=2.5,
+                warp_blur_min=(4, 4, 4), warp_blur_max=(8, 8, 8),
+                label_warp_impl=impl, aff_shift=1)
+            v = model.init({'params': K0, 'augment': K1}, labels)
+            outs[impl] = model.apply(v, labels, rngs={'augment': K1})
+        np.testing.assert_array_equal(np.asarray(outs['auto']['map']),
+                                      np.asarray(outs['gather']['map']))
