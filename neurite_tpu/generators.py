@@ -363,11 +363,93 @@ def vol_seg_prior(*args, proc_vol_fn=None, proc_seg_fn=None,
                            vol_size=vol_size)
 
 
-# reference `vol_prior_hack`/`vol_seg_hack` (generators.py:694-834) are
-# non-send duplicates of the prior generators; the clean versions above
-# cover their capability, so we alias them.
-vol_prior_hack = vol_prior
-vol_seg_hack = vol_seg
+def vol_seg_hack(volpath, segpath=None, proc_vol_fn=None, proc_seg_fn=None,
+                 verbose=False, name='vol_seg', ext='.npz',
+                 nb_restart_cycle=None, nb_labels_reshape=-1,
+                 collapse_2d=None, force_binary=False, nb_input_feats=1,
+                 relabel=None, vol_rand_seed=None, seg_binary=False,
+                 vol_subname='norm', seg_subname='aseg', **kwargs):
+    """
+    Reference `vol_seg_hack` (`generators.py:797-834`): despite the name it
+    yields ONLY the input volume (float16) — an autoencoder-style feed
+    (`segpath`/seg args are accepted for signature parity and unused, as in
+    the reference). Distinct from `vol_seg`, which yields (vol, seg) pairs.
+    """
+    vol_gen = vol(volpath, **kwargs, ext=ext,
+                  nb_restart_cycle=nb_restart_cycle, collapse_2d=collapse_2d,
+                  force_binary=False, relabel=None, data_proc_fn=proc_vol_fn,
+                  nb_labels_reshape=1, name=name + ' vol', verbose=verbose,
+                  nb_feats=nb_input_feats, vol_rand_seed=vol_rand_seed)
+    while True:
+        yield next(vol_gen).astype('float16')
+
+
+def vol_prior_hack(*args, proc_vol_fn=None, proc_seg_fn=None,
+                   prior_type='location', prior_file=None,
+                   prior_feed='input', patch_stride=1, patch_size=None,
+                   batch_size=1, collapse_2d=None, extract_slice=None,
+                   force_binary=False, nb_input_feats=1, verbose=False,
+                   vol_rand_seed=None, vol_size=None, **kwargs):
+    """
+    Reference `vol_prior_hack` (`generators.py:694-791`): autoencoding
+    batches with an inline (non-send) prior —
+    yields ([input_vol, prior_batch], input_vol) for prior_feed='input' or
+    (input_vol, [input_vol, prior_batch]) for 'output'. NOTE the target is
+    the INPUT volume (not a segmentation), unlike `vol_prior`'s wiring of a
+    paired generator. The reference's undefined `vol_size` in the
+    location-prior path (`generators.py:729`) is an explicit argument here.
+    """
+    gen = vol_seg_hack(*args, **kwargs, proc_vol_fn=proc_vol_fn,
+                       proc_seg_fn=proc_seg_fn, collapse_2d=collapse_2d,
+                       extract_slice=extract_slice,
+                       force_binary=force_binary, verbose=verbose,
+                       patch_size=patch_size, patch_stride=patch_stride,
+                       batch_size=batch_size, vol_rand_seed=vol_rand_seed,
+                       nb_input_feats=nb_input_feats)
+
+    if prior_type == 'location':
+        assert vol_size is not None, \
+            'location priors require vol_size (undefined in the reference!)'
+        grids = np.meshgrid(*[np.arange(s) for s in vol_size], indexing='ij')
+        prior_vol = np.stack(grids, -1).astype('float16')
+    elif prior_type == 'file':
+        prior_vol = np.load(prior_file)['prior'].astype('float16')
+    else:
+        prior_vol = np.asarray(prior_file)
+        if prior_vol.dtype != np.float16:
+            prior_vol = prior_vol.astype('float16')
+
+    if force_binary:
+        nb_labels = prior_vol.shape[-1]
+        prior_vol[..., 1] = np.sum(prior_vol[..., 1:nb_labels], -1)
+        prior_vol = np.delete(prior_vol, range(2, nb_labels), -1)
+    nb_channels = prior_vol.shape[-1]
+
+    if extract_slice is not None:
+        if isinstance(extract_slice, int):
+            prior_vol = prior_vol[:, :, extract_slice, np.newaxis, :]
+        else:
+            prior_vol = prior_vol[:, :, extract_slice, :]
+    assert prior_vol.ndim in (3, 4), 'prior is the wrong size'
+
+    if patch_size is None:
+        patch_size = prior_vol.shape[0:3]
+    if not isinstance(patch_stride, (list, tuple)):
+        patch_stride = [patch_stride] * len(patch_size)
+    # inline (non-send) prior batches: plain next() on an infinite patch gen
+    prior_gen = patch(prior_vol, [*patch_size, nb_channels],
+                      patch_stride=[*patch_stride, nb_channels],
+                      batch_size=batch_size, collapse_2d=collapse_2d,
+                      keep_vol_size=True, infinite=True, nb_labels_reshape=0)
+
+    while True:
+        input_vol = next(gen)
+        prior_batch = next(prior_gen)
+        if prior_feed == 'input':
+            yield ([input_vol, prior_batch], input_vol)
+        else:
+            assert prior_feed == 'output'
+            yield (input_vol, [input_vol, prior_batch])
 
 
 def vol_sr_slices(volpath, nb_input_slices, nb_slice_spacing, batch_size=1,

@@ -68,6 +68,33 @@ class TestVolGenerator:
         (x, prior), y = next(gen)
         assert prior.shape[-1] == 3  # ndgrid channels
 
+    def test_vol_seg_hack_yields_input_only(self, voldir):
+        """Reference vol_seg_hack (generators.py:797-834) yields ONLY the
+        float16 input volume (autoencoder feed), not a (vol, seg) pair."""
+        vd, sd = voldir
+        gen = ne.generators.vol_seg_hack(vd, sd, batch_size=2)
+        b = next(gen)
+        assert not isinstance(b, tuple)
+        assert b.shape == (2, 12, 12, 12, 1)
+        assert b.dtype == np.float16
+
+    def test_vol_prior_hack_autoencoding_with_prior(self, voldir):
+        """Reference vol_prior_hack (generators.py:694-791): the TARGET is
+        the input volume; prior rides the input or output tuple."""
+        vd, _ = voldir
+        gen = ne.generators.vol_prior_hack(vd, batch_size=1,
+                                           prior_type='location',
+                                           vol_size=(12, 12, 12))
+        (x, prior), y = next(gen)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert prior.shape[-1] == 3
+        gen2 = ne.generators.vol_prior_hack(vd, batch_size=1,
+                                            prior_type='location',
+                                            prior_feed='output',
+                                            vol_size=(12, 12, 12))
+        x2, (y2, prior2) = next(gen2)
+        np.testing.assert_array_equal(np.asarray(x2), np.asarray(y2))
+
     def test_dataset_deterministic_resume(self, voldir):
         vd, _ = voldir
         ds = ne.generators.VolumeDataset(vd, nb_labels_reshape=1, seed=3)
