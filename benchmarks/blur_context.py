@@ -34,11 +34,16 @@ def build():
     gv = jax.jit(gen.init)({'params': jax.random.PRNGKey(0),
                             'augment': jax.random.PRNGKey(1)}, labels)
 
-    def fwd(lab, key):
-        out = gen.apply(gv, lab, rngs={'augment': key})
-        return out['image']
+    def make_fwd():
+        # a FRESH function object per variant: jax caches traced jaxprs on
+        # function identity, so reusing one `fwd` across env-flag toggles
+        # silently reuses the first trace (the round-1 measurement trap)
+        def fwd(lab, key):
+            out = gen.apply(gv, lab, rngs={'augment': key})
+            return out['image']
+        return fwd
 
-    return fwd, labels
+    return make_fwd, labels
 
 
 def timeit(c, labels, n1=3, n2=13):
@@ -55,7 +60,7 @@ def timeit(c, labels, n1=3, n2=13):
 
 
 def main():
-    fwd, labels = build()
+    make_fwd, labels = build()
     dump_hlo = '--hlo' in sys.argv
 
     results = {}
@@ -64,10 +69,13 @@ def main():
             os.environ['NEURITE_FUSED_BLUR'] = '1'
         else:
             os.environ.pop('NEURITE_FUSED_BLUR', None)
-        f = jax.jit(fwd)
+        f = jax.jit(make_fwd())
         t0 = time.time()
-        c = f.lower(labels, jax.random.PRNGKey(0)).compile()
-        print(f'flag={flag} compile {time.time() - t0:.1f}s', flush=True)
+        lowered = f.lower(labels, jax.random.PRNGKey(0))
+        n_pallas = lowered.as_text().count('tpu_custom_call')
+        c = lowered.compile()
+        print(f'flag={flag} compile {time.time() - t0:.1f}s '
+              f'(pallas calls in program: {n_pallas})', flush=True)
         if dump_hlo:
             with open(f'/tmp/hlo_synth_blur{flag}.txt', 'w') as fh:
                 fh.write(c.as_text())

@@ -104,3 +104,34 @@ def _window_variants():
         print(f'{name:10s} {1e3 * t:8.2f} ms  '
               f'{wv ** 3 / t / 1e9:6.3f} Gvox/s  maxerr={err:.2e}',
               flush=True)
+
+
+def _pallas_variants():
+    """The Pallas windowed kernel vs the XLA engines on the bench field."""
+    from neurite_tpu.ops import pallas_warp
+    wv = 128
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(wv, wv, wv)), jnp.float32)
+    base = jnp.stack(ne.utils.volshape_to_ndgrid((wv,) * 3),
+                     -1).astype(jnp.float32)
+    shift = jnp.asarray(rng.uniform(-3, 3, size=(wv, wv, wv, 3)), jnp.float32)
+    loc = base + shift
+    ref = np.asarray(ne.utils.interpn(vol, loc))
+    for name, fn in [
+        ('pallas88', lambda v: pallas_warp.interpn_pallas(
+            v, loc, max_disp=3.0, block=(8, 8))),
+        ('pallas48', lambda v: pallas_warp.interpn_pallas(
+            v, loc, max_disp=3.0, block=(4, 8))),
+        ('pallas1616', lambda v: pallas_warp.interpn_pallas(
+            v, loc, max_disp=3.0, block=(16, 16))),
+    ]:
+        try:
+            out = jax.jit(fn)(vol)
+            err = np.abs(np.asarray(out) - ref).max()
+            t = fit_chain(fn, vol)
+            print(f'{name:10s} {1e3 * t:8.2f} ms  '
+                  f'{wv ** 3 / t / 1e9:6.3f} Gvox/s  maxerr={err:.2e}',
+                  flush=True)
+        except Exception as e:
+            print(f'{name}: FAILED {type(e).__name__}: {str(e)[:200]}',
+                  flush=True)

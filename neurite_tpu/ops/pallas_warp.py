@@ -1,0 +1,192 @@
+"""
+Pallas TPU kernel for the block-windowed warp (the `interpn` hot path).
+
+The XLA one-hot engine (`ops.warp.interpn_onehot`) already avoids scattered
+gathers by fetching each block's source window with a dynamic slice and
+selecting taps via one-hot MXU matmuls — but it pays (a) HBM materialization
+of the blockified index/weight fields, (b) `lax.scan` serialization across
+blocks, and (c) a [P, K] one-hot whose output lands points-on-sublanes,
+forcing a relayout. This kernel keeps the same math with Pallas-native
+structure (reference algorithm: `neurite/tf/utils/utils.py:73-220`):
+
+  - grid over (batch, z-blocks, y-blocks); per block the (Sz, Sy, W) source
+    window is DMA'd HBM->VMEM with *scalar-prefetched* dynamic starts (the
+    per-block minimum source index, computed in a cheap XLA pre-pass) —
+    dynamic starts make global translations of any size exact for free;
+  - the slab is transposed once per block to [W, K] (K = Sz*Sy);
+  - per output row s, the 4 (z, y) corner taps of all W points ride ONE
+    MXU matmul  C_s[w, k] = slabT[w, r] @ ohT_s[r, k]  whose N dim is the
+    lane axis (x) — every layout is natural, no relayouts;
+  - the two x taps reduce C_s over sublanes with masked weights.
+
+Exactness contract: identical to `interpn_onehot` — exact whenever each
+block's within-block source spread fits the static window (guaranteed for
+|loc - grid| <= max_disp per axis); beyond-window points clamp to the edge.
+`ops.warp.interpn_window` composes this (or the XLA engine) with a runtime
+spread guard + gather fallback for unbounded-exact semantics.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(z0_ref, y0_ref, loz_ref, loy_ref, lox_ref, wz_ref, wy_ref,
+            wx_ref, vol_ref, out_ref, slab, sem, *, Sz, Sy, bz, by, W, D, H,
+            linear):
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    z0 = z0_ref[b, iz, iy]
+    y0 = y0_ref[b, iz, iy]
+
+    dma = pltpu.make_async_copy(
+        vol_ref.at[b, pl.ds(z0, Sz), pl.ds(y0, Sy), :], slab, sem)
+    dma.start()
+    dma.wait()
+
+    K = Sz * Sy
+    slabT = jnp.swapaxes(slab[:].reshape(K, W), 0, 1)       # [W, K]
+
+    need = 2 if linear else 1
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (K, W), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+
+    def row(s, _):
+        si = s // by
+        sj = s % by
+        loz = loz_ref[0, si, sj, :].reshape(1, W)
+        loy = loy_ref[0, si, sj, :].reshape(1, W)
+        lox = lox_ref[0, si, sj, :].reshape(1, W)
+        zl = jnp.clip(loz - z0, 0, max(Sz - need, 0))
+        yl = jnp.clip(loy - y0, 0, max(Sy - need, 0))
+        r00 = zl * Sy + yl                                   # [1, W]
+        if linear:
+            wz = wz_ref[0, si, sj, :].reshape(1, W)
+            wy = wy_ref[0, si, sj, :].reshape(1, W)
+            ohT = ((iota_r == r00) * (1 - wz) * (1 - wy)
+                   + (iota_r == r00 + 1) * (1 - wz) * wy
+                   + (iota_r == r00 + Sy) * wz * (1 - wy)
+                   + (iota_r == r00 + Sy + 1) * wz * wy)
+        else:
+            ohT = (iota_r == r00).astype(jnp.float32)
+        c = jax.lax.dot_general(
+            slabT, ohT, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # [W, W]
+        xl = jnp.clip(lox, 0, max(W - need, 0))
+        if linear:
+            wx = wx_ref[0, si, sj, :].reshape(1, W)
+            selT = (iota_w == xl) * (1 - wx) + (iota_w == xl + 1) * wx
+        else:
+            selT = (iota_w == xl).astype(jnp.float32)
+        out_ref[0, si, sj, :] = jnp.sum(c * selT, axis=0)
+        return _
+
+    jax.lax.fori_loop(0, bz * by, row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('Sz', 'Sy', 'bz', 'by',
+                                             'linear', 'interpret'))
+def _warp_p(vol, loz, loy, lox, wz, wy, wx, z0, y0, *, Sz, Sy, bz, by,
+            linear, interpret=False):
+    B, D, H, W = vol.shape
+    _, Do, Ho, _ = loz.shape
+    nbz, nby = Do // bz, Ho // by
+
+    kern = functools.partial(_kernel, Sz=Sz, Sy=Sy, bz=bz, by=by, W=W, D=D,
+                             H=H, linear=linear)
+    blk = lambda b, i, j, *_: (b, i, j, 0)                   # noqa: E731
+    fld = pl.BlockSpec((1, bz, by, W), blk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nbz, nby),
+        in_specs=[fld, fld, fld, fld, fld, fld,
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, bz, by, W), blk),
+        scratch_shapes=[pltpu.VMEM((Sz, Sy, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Do, Ho, W), jnp.float32),
+        interpret=interpret,
+    )(z0, y0, loz, loy, lox, wz, wy, wx, vol)
+
+
+def interpn_pallas(vol, loc, interp_method='linear', fill_value=None,
+                   max_disp=4.0, block=(8, 8), interpret=False):
+    """
+    3-D warp on the Pallas windowed kernel. Same contract as
+    `ops.warp.interpn_onehot` with an untiled x axis: exact while per-axis
+    |loc - grid| <= max_disp (dynamic windows absorb global translations);
+    C=1 volumes; W must be a multiple of 128 (callers pad or fall back).
+
+    vol: [D, H, W] or [B, D, H, W]; loc: [*out, 3] or [B, *out, 3].
+    """
+    if isinstance(loc, (list, tuple)):
+        loc = jnp.stack(loc, -1)
+    assert loc.shape[-1] == 3, 'interpn_pallas is the 3-D engine'
+    vol = jnp.asarray(vol)
+    batched = loc.ndim == 5
+    if not batched:
+        assert loc.ndim == 4, loc.shape
+        vol, loc = vol[None], loc[None]
+    assert vol.ndim == 4, 'interpn_pallas takes single-channel volumes'
+    B, D, H, W = vol.shape
+    assert W % 128 == 0, f'W={W} must be a lane multiple (pad or fall back)'
+    assert interp_method in ('linear', 'nearest'), interp_method
+    linear = interp_method == 'linear'
+    out_dtype = vol.dtype
+    vol32 = vol.astype(jnp.float32)
+    loc32 = jnp.asarray(loc, jnp.float32)
+
+    maxl = jnp.asarray([D - 1., H - 1., W - 1.], jnp.float32)
+    cl = jnp.clip(loc32, 0., maxl)
+    if linear:
+        lo = jnp.clip(jnp.floor(cl), 0., jnp.maximum(maxl - 1., 0.))
+        w = cl - lo
+    else:
+        lo = jnp.round(cl)
+        w = jnp.zeros_like(cl)
+    lo_i = lo.astype(jnp.int32)
+
+    bz, by = block[0], block[1]
+    pad = int(np.ceil(float(max_disp))) + 1
+    Sz, Sy = min(bz + 2 * pad, D), min(by + 2 * pad, H)
+
+    Do, Ho, Wo = loc.shape[1:-1]
+    assert Wo == W, 'x axis is untiled: out x extent must equal W'
+    pz, py = (-Do) % bz, (-Ho) % by
+    if pz or py:
+        cfg = [(0, 0), (0, pz), (0, py), (0, 0), (0, 0)]
+        lo_i = jnp.pad(lo_i, cfg, mode='edge')
+        w = jnp.pad(w, cfg, mode='edge')
+    nbz, nby = (Do + pz) // bz, (Ho + py) // by
+
+    # per-block window starts: the block's own min source index (XLA
+    # pre-pass; tiny [B, nbz, nby] arrays ride the scalar-prefetch path)
+    lz = lo_i[..., 0].reshape(B, nbz, bz, nby, by, W)
+    ly = lo_i[..., 1].reshape(B, nbz, bz, nby, by, W)
+    z0 = jnp.clip(lz.min(axis=(2, 4, 5)), 0, max(D - Sz, 0))
+    y0 = jnp.clip(ly.min(axis=(2, 4, 5)), 0, max(H - Sy, 0))
+
+    out = _warp_p(vol32, lo_i[..., 0], lo_i[..., 1], lo_i[..., 2],
+                  w[..., 0], w[..., 1], w[..., 2],
+                  z0.astype(jnp.int32), y0.astype(jnp.int32),
+                  Sz=Sz, Sy=Sy, bz=bz, by=by, linear=linear,
+                  interpret=interpret)
+    out = out[:, :Do, :Ho]
+
+    if fill_value is not None:
+        oob = jnp.any((loc32 < 0.) | (loc32 > maxl), axis=-1)
+        out = jnp.where(oob, jnp.asarray(fill_value, out.dtype), out)
+    if not jnp.issubdtype(out_dtype, jnp.floating):
+        out = jnp.round(out).astype(out_dtype)
+    elif out.dtype != out_dtype:
+        out = out.astype(out_dtype)
+    return out if batched else out[0]

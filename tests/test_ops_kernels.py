@@ -573,3 +573,33 @@ def test_interpn_window_batched_and_via_interpn():
                        impl='window', max_disp=2.0, block=(4, 4, 4))
     np.testing.assert_allclose(np.asarray(via), np.asarray(want[0, ..., 0]),
                                atol=1e-5)
+
+
+# ----------------------------------------------------- pallas windowed warp
+@pytest.mark.parametrize('method', ['linear', 'nearest'])
+@pytest.mark.parametrize('fill', [None, 0.0])
+def test_interpn_pallas_matches_generic(method, fill):
+    from neurite_tpu.ops import pallas_warp
+    vol = jnp.asarray(rng.normal(size=(12, 10, 128)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((12, 10, 128)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-2.5, 2.5, size=(12, 10, 128, 3)),
+                             jnp.float32)
+    want = core.interpn(vol, loc, interp_method=method, fill_value=fill)
+    got = pallas_warp.interpn_pallas(vol, loc, interp_method=method,
+                                     fill_value=fill, max_disp=3.0,
+                                     block=(4, 5), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_pallas_translation_and_batch():
+    from neurite_tpu.ops import pallas_warp
+    vol = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((16, 16, 128)), -1).astype(
+        jnp.float32)
+    locs = jnp.stack([base + 7.3, base - 5.1])
+    want = jnp.stack([core.interpn(vol[i], locs[i], fill_value=0.)
+                      for i in range(2)])
+    got = pallas_warp.interpn_pallas(vol, locs, fill_value=0., max_disp=2.0,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
