@@ -18,6 +18,7 @@ taps; tap grads via jnp shifts, DCE'd when unused).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -113,21 +114,37 @@ def _blur3d_p(x, kz, ky, kx, interpret=False):
     kern = functools.partial(
         _blur_kernel, D=D, H=H, W=W, Sz=Sz, bz=bz, rz=rz, ry=ry, rx=rx,
         Kz=Kz, Ky=Ky, Kx=Kx)
-    return pl.pallas_call(
+    nvox = N * D * H * W
+    out = pl.pallas_call(
         kern,
         grid=(N, D // bz),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kz
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ky
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kx
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # x stays in HBM
         ],
         out_specs=pl.BlockSpec((1, bz, H, W), lambda n, zb: (n, zb, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, D, H, W), x.dtype),
         scratch_shapes=[pltpu.VMEM((Sz, H, W), x.dtype),
                         pltpu.SemaphoreType.DMA],
+        # honest cost: without this XLA schedules the custom call blind
+        # (kernel_metadata={} in the HLO) in large programs
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nvox * (Kz + Ky + Kx),
+            bytes_accessed=2 * nvox * x.dtype.itemsize
+            + nvox * x.dtype.itemsize * 2 * rz // max(bz, 1),
+            transcendentals=0),
         interpret=interpret,
     )(kz.reshape(1, -1), ky.reshape(1, -1), kx.reshape(1, -1), x)
+    # keep the 8MB+ output out of long-lived scoped-VMEM pinning: embedded
+    # in the 128^3 synthesis program, XLA's memory-space assignment placed
+    # the output in S(1) across a ~250-instruction live range, starving the
+    # rest of the schedule (the round-1 "204->375ms" in-context regression;
+    # benchmarks/blur_context.py). The barrier severs the value for MSA.
+    if os.environ.get('NEURITE_BLUR_OUT_BARRIER', '1') != '0':
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def _blur3d_jnp(x, kz, ky, kx):

@@ -106,7 +106,7 @@ def _warp_p(vol, loz, loy, lox, wz, wy, wx, z0, y0, *, Sz, Sy, bz, by,
         num_scalar_prefetch=2,
         grid=(B, nbz, nby),
         in_specs=[fld, fld, fld, fld, fld, fld,
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, bz, by, W), blk),
         scratch_shapes=[pltpu.VMEM((Sz, Sy, W), jnp.float32),
                         pltpu.SemaphoreType.DMA],
