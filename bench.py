@@ -248,11 +248,12 @@ def main():
     warp_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(v, loc), wvol, 1, 2))
     # UNBOUNDED-exact window engine (ops.warp.interpn_window: dynamic
-    # per-block windows + spread guard + gather fallback) — the headline
-    # general-warp path; exact for arbitrary fields
+    # per-block windows + spread guard + gather fallback; auto-routes to
+    # the Pallas kernel on TPU) — the headline general-warp path; exact
+    # for arbitrary fields
     warp_win_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
-            v, loc, impl='window', max_disp=3.0, block=(8, 8, 64)),
+            v, loc, impl='window', max_disp=3.0, block=(4, 8)),
             wvol, 1, 2))
     # bounded-displacement warp on the one-hot MXU engine: the loc field is
     # uniform +-3 so max_disp=3 makes it EXACT (ops.warp.interpn_onehot)

@@ -156,6 +156,11 @@ def interpn_pallas(vol, loc, interp_method='linear', fill_value=None,
     lo_i = lo.astype(jnp.int32)
 
     bz, by = block[0], block[1]
+    # Mosaic block constraint: the field blocks' last two dims are (by, W),
+    # so by must be sublane-aligned on real TPUs ((4,8) measured best at
+    # 128^3: 2.50ms vs 6.74 for (8,8) — smaller K, more grid parallelism)
+    assert interpret or by % 8 == 0, \
+        f'by={by} must be a multiple of 8 (Mosaic sublane tiling)'
     pad = int(np.ceil(float(max_disp))) + 1
     Sz, Sy = min(bz + 2 * pad, D), min(by + 2 * pad, H)
 

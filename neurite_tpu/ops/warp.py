@@ -294,7 +294,8 @@ def block_spread_ok(loc, vol_shape, interp_method='linear',
 
 
 def interpn_window(vol, loc, interp_method='linear', fill_value=None,
-                   block=(8, 8, 64), window_pad=5, matmul_dtype=None):
+                   block=(8, 8, 64), window_pad=5, matmul_dtype=None,
+                   engine='auto'):
     """
     UNBOUNDED-exact general warp: the block-windowed one-hot MXU engine
     (`interpn_onehot`) guarded by a runtime spread check, falling back to the
@@ -310,13 +311,23 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     resampling grids) satisfy this by construction; white-noise fields with
     amplitude > ~window_pad do not, and take the exact fallback.
 
-    Cost note: per-point MXU work is O(window_volume); the default
-    (8, 8, 64)+pad-5 window measures ~5x the flat gather at 128^3 C=1 on
-    v5e while staying exact for arbitrary inputs (benchmarks/warp_variants.py).
+    Engines (measured at 128^3 C=1 on v5e, benchmarks/warp_variants.py):
+    the Pallas windowed kernel (`ops.pallas_warp`, block (4, 8)) reaches
+    0.84 Gvox/s — 55x the reference gather chain — and is the 'auto' pick
+    on TPU for single-channel, lane-aligned volumes; the XLA one-hot
+    engine ((8, 8, 64)+pad-5 window, ~0.21 Gvox/s) covers everything else.
+    Caveat for embedding: a Mosaic custom call inside the big SYNTHESIS
+    program degrades that whole program's schedule (docs/DESIGN.md
+    "custom-call blast radius") — the synth model therefore uses the XLA
+    engines directly; standalone/registration-style programs measured
+    unaffected (warp chains +11%, conv nets +1%).
 
     vol/loc/fill_value/interp_method: exactly as `utils.interpn` (3-D only).
     matmul_dtype: None = f32 (exact); 'bf16x2' trades ~1e-5 relative error
         for ~2x matmul rate (see `interpn_onehot`).
+    engine: 'auto' | 'pallas' | 'xla' — fast-path implementation when the
+        spread guard passes ('pallas' requires TPU, C=1, x extent = W,
+        W % 128 == 0; 'auto' falls back to 'xla' otherwise).
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
@@ -328,11 +339,36 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     vol_b = vol if batched else vol[None]
     vol_shape = vol_b.shape[1:4]
 
+    no_channel = vol_b.ndim == 4
+    squeeze1 = vol_b.ndim == 5 and vol_b.shape[-1] == 1
+    W = vol_shape[2]
+    pallas_ok = ((no_channel or squeeze1) and W % 128 == 0
+                 and loc_b.shape[3] == W
+                 and interp_method in ('linear', 'nearest'))
+    if engine == 'auto':
+        import jax as _jax
+        engine = 'pallas' if (pallas_ok
+                              and _jax.default_backend() == 'tpu') else 'xla'
+    if engine == 'pallas':
+        assert pallas_ok, ('pallas engine needs a single-channel volume '
+                           'with x extent = W and W % 128 == 0')
+        pblock = (block[0], block[1])
+    else:
+        pblock = None
+
+    guard_block = pblock if pblock is not None else block
     ok = block_spread_ok(loc_b, vol_shape, interp_method=interp_method,
-                         block=block, pad=window_pad)
+                         block=guard_block, pad=window_pad)
 
     def fast(args):
         v, l = args
+        if pblock is not None:
+            from neurite_tpu.ops import pallas_warp
+            out = pallas_warp.interpn_pallas(
+                v[..., 0] if squeeze1 else v, l,
+                interp_method=interp_method, fill_value=fill_value,
+                max_disp=float(window_pad) - 1., block=pblock)
+            return out[..., None] if squeeze1 else out
         return interpn_onehot(v, l, interp_method=interp_method,
                               fill_value=fill_value,
                               max_disp=float(window_pad) - 1.,
