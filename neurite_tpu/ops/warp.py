@@ -311,11 +311,12 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     resampling grids) satisfy this by construction; white-noise fields with
     amplitude > ~window_pad do not, and take the exact fallback.
 
-    Engines (measured at 128^3 C=1 on v5e, benchmarks/warp_variants.py):
-    the Pallas windowed kernel (`ops.pallas_warp`, block (4, 8)) reaches
-    0.84 Gvox/s — 55x the reference gather chain — and is the 'auto' pick
-    on TPU for single-channel, lane-aligned volumes; the XLA one-hot
-    engine ((8, 8, 64)+pad-5 window, ~0.21 Gvox/s) covers everything else.
+    Engines (measured at 128^3 C=1 on v5e; careful k-chain timing, see
+    docs/DESIGN.md): the Pallas windowed kernel (`ops.pallas_warp`, block
+    (4, 8)) measures 7.2ms = 0.29 Gvox/s — ~19x the reference gather chain
+    and ~1.5x the XLA one-hot engine — and is the 'auto' pick on TPU for
+    single-channel, lane-aligned volumes; the XLA engine ((8, 8, 64) +
+    pad-5 window, ~0.18 Gvox/s) covers everything else.
     Caveat for embedding: a Mosaic custom call inside the big SYNTHESIS
     program degrades that whole program's schedule (docs/DESIGN.md
     "custom-call blast radius") — the synth model therefore uses the XLA
