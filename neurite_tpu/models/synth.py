@@ -307,14 +307,16 @@ class LabelsToImage(nn.Module):
         # warp_max_disp bounds the integrated SVF at its NATIVE (integration)
         # resolution; when not half_res the field is rescale_dense_transform'd
         # x2 before the full-res label warp, doubling displacement magnitudes
-        # — so the label-warp window must be 2x the integration bound or
-        # out-of-window points would clamp to wrong labels (a tight
-        # user-supplied bound previously under-covered by 2x; the 4*warp_max
-        # default merely had margin).
+        # — so a tight USER-supplied bound must be doubled for the label-warp
+        # window or out-of-window points would clamp to wrong labels (ADVICE
+        # r1). The 4*warp_max DEFAULT already carries ~4x margin over the
+        # integrated amplitude, so it covers the x2 rescale as-is — doubling
+        # it too would only grow the window (measured +7ms on config #5).
         rescale_fac = 1. if self.half_res else 2.
-        wdisp_l = rescale_fac * (
-            (self.warp_max_disp if self.warp_max_disp is not None
-             else 4. * float(self.warp_max)) if self.warp_max > 0 else 1.0)
+        wdisp_l = (rescale_fac * self.warp_max_disp
+                   if self.warp_max_disp is not None
+                   else (4. * float(self.warp_max)
+                         if self.warp_max > 0 else 1.0))
         labels = labels.astype(compute_type)
         if eligible and route:
             labels = spatial.batch_transform(
