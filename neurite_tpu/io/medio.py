@@ -8,7 +8,6 @@ zero-dependency readers/writers sufficient for volume data + affine.
 """
 
 import gzip
-import os
 
 import numpy as np
 

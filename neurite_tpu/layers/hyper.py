@@ -8,7 +8,7 @@ re-designed TPU-first: per-batch-item convolution is `jax.vmap` of
 `layers.py:2582-2612`) and the dense forms are single einsums on the MXU.
 """
 
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Any, Sequence, Union
 
 import flax.linen as nn
 import jax

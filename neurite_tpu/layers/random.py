@@ -9,7 +9,7 @@ and hidden `tf.random.Generator` state, `layers.py:2364-2366`).
 """
 
 import warnings
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

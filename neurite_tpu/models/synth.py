@@ -19,7 +19,7 @@ Capability parity with reference `neurite/tf/models.py`
   ref `models.py:1066-1071,1300`).
 """
 
-from typing import Any, Callable, Dict, Optional, Sequence, Union
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -27,8 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neurite_tpu.layers.local import LocalParamLayer  # noqa: F401 (re-export convenience)
-from neurite_tpu.layers.random import (GaussianBlur, GaussianNoise,
-                                       PerlinNoise, RandomCrop, Subsample)
+from neurite_tpu.layers.random import GaussianBlur, GaussianNoise, Subsample
 from neurite_tpu.models.unet import UNet as _UNet
 from neurite_tpu.utils import augment as aug
 from neurite_tpu.utils import core, spatial

@@ -10,7 +10,7 @@ same step with pjit shardings (see `neurite_tpu.parallel`).
 """
 
 import time
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

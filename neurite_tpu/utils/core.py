@@ -7,12 +7,12 @@ function), re-designed TPU-first:
 - pure jnp functions, jit/vmap/grad-composable, static shapes throughout;
 - gathers are flat single-axis gathers (XLA lowers these well on TPU);
 - randomized ops take explicit `jax.random` keys instead of hidden global RNG state;
-- the hot interpolation path can dispatch to a fused Pallas kernel
-  (`neurite_tpu.ops.pallas`) on TPU backends.
+- the hot interpolation path dispatches to windowed MXU engines and a
+  Pallas kernel (`neurite_tpu.ops.warp`, `neurite_tpu.ops.pallas_warp`)
+  on TPU backends (`interpn(impl='window')`).
 """
 
 import itertools
-import math
 import os
 
 import jax

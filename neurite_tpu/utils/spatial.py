@@ -9,7 +9,6 @@ they are required for the synthesis configs (SURVEY.md §2.4, BASELINE config
 jnp built on `core.interpn`, jit/vmap-composable with static shapes.
 """
 
-import itertools
 
 import jax
 import jax.numpy as jnp
