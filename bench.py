@@ -70,9 +70,12 @@ def main():
     vol = 128 if on_tpu else 32
     nb_feats = 16
     nb_levels = 4 if on_tpu else 3
-    # with z-decomposed convs batch 4 fits HBM and measures best
-    # (15.5 vol/s vs 13.9 at batch 2 on v5e)
-    batch = int(os.environ.get('BENCH_BATCH', 4 if on_tpu else 1))
+    # batch 1 measures best with z-decomposed convs: 54.5ms = 18.4 vol/s on
+    # v5e vs 13.9 at batch 2 / 15.5 at batch 4 — same lost-overlap/HBM
+    # pattern as the synthesis pipeline (docs/DESIGN.md "Batch scaling");
+    # scale throughput with data-parallel chips at batch 1, not bigger
+    # per-chip batches
+    batch = int(os.environ.get('BENCH_BATCH', 1))
     nb_labels = 4
 
     import neurite_tpu as ne
