@@ -168,13 +168,14 @@ def _level_feats(nb_features, feat_mult, level, nb_conv_per_level,
 
 
 def _max_pool(x, pool_size, padding):
+    from neurite_tpu.ops.pool import max_pool
     ndims = x.ndim - 2
     if isinstance(pool_size, int):
         pool_size = (pool_size,) * ndims
     window = tuple(int(p) for p in pool_size)
-    return nn.max_pool(x, window_shape=window, strides=window,
-                       padding=padding.upper() if isinstance(padding, str)
-                       else padding)
+    return max_pool(x, window, strides=window,
+                    padding=padding.upper() if isinstance(padding, str)
+                    else padding)
 
 
 def _upsample(x, pool_size):

@@ -603,3 +603,44 @@ def test_interpn_pallas_translation_and_batch():
     got = pallas_warp.interpn_pallas(vol, locs, fill_value=0., max_disp=2.0,
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# max_pool with custom first-max backward (ops/pool.py): replaces XLA's
+# select_and_scatter lowering (measured 14ms of the 54ms UNet-128^3 step)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('shape,win', [
+    ((2, 8, 8, 3), (2, 2)),
+    ((1, 8, 10, 6, 4), (2, 2, 2)),
+    ((1, 9, 3), (3,)),
+])
+def test_max_pool_matches_stock_fwd_bwd(shape, win):
+    import flax.linen as nn
+    from neurite_tpu.ops.pool import max_pool
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    want = nn.max_pool(x, window_shape=win, strides=win, padding='VALID')
+    got = max_pool(x, win)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    gw = jax.grad(lambda x: jnp.sum(nn.max_pool(
+        x, window_shape=win, strides=win, padding='VALID') ** 2))(x)
+    gg = jax.grad(lambda x: jnp.sum(max_pool(x, win) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=1e-6)
+
+
+def test_max_pool_tie_break_first_max():
+    # duplicated maxima: gradient must route to the FIRST element of the
+    # window (select_and_scatter / keras MaxPooling semantics)
+    import flax.linen as nn
+    from neurite_tpu.ops.pool import max_pool
+    x = jnp.ones((1, 4, 4, 1), jnp.float32)
+    gw = jax.grad(lambda x: jnp.sum(nn.max_pool(
+        x, window_shape=(2, 2), strides=(2, 2), padding='VALID')))(x)
+    gg = jax.grad(lambda x: jnp.sum(max_pool(x, (2, 2))))(x)
+    np.testing.assert_array_equal(np.asarray(gg), np.asarray(gw))
+
+
+def test_max_pool_fallback_non_divisible():
+    from neurite_tpu.ops.pool import max_pool
+    x = jnp.asarray(rng.normal(size=(1, 7, 3)), jnp.float32)
+    assert max_pool(x, (2,), padding='VALID').shape == (1, 3, 3)
