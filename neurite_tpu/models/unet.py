@@ -124,6 +124,41 @@ class ZDecompConv(nn.Module):
                         None if bias is None else bias.astype(dt))
 
 
+class PointwiseConv(nn.Module):
+    """
+    nn.Conv-compatible 1x...x1 convolution computed as a per-voxel matmul.
+
+    Identical parameters (kernel [1,..,1,C,F], bias [F]) and math to
+    nn.Conv, but expressed as `dot_general` over the channel axis: XLA's
+    conv path chooses an 'InputFeaturePackedInputBatchInLanes' emitter for
+    the weight gradient of full-volume 1x1 convs, which forces both
+    operands into a T(2,128) layout — measured 8.8ms (two full-volume
+    relayout copies + a 4.5ms conv fusion) of the 44.6ms UNet-128^3 train
+    step for the final 'likelihood' conv alone. The matmul form keeps the
+    native layout (docs/DESIGN.md "Training step").
+    """
+    features: int
+    kernel_size: Any = None
+    param_dtype: Any = jnp.float32
+    dtype: Any = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (*self.kernel_size, cin, self.features),
+                            self.param_dtype)
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype) \
+            if self.use_bias else None
+        dt = self.dtype or x.dtype
+        k2 = kernel.reshape(cin, self.features).astype(dt)
+        y = jax.lax.dot_general(x.astype(dt), k2,
+                                (((x.ndim - 1,), (0,)), ((), ())))
+        return y + bias.astype(dt) if bias is not None else y
+
+
 def _conv_layer(conv_impl, nf, opts, param_dtype, dtype, name):
     """
     Pick the conv implementation. 'auto' (default) uses the z-decomposed
@@ -135,6 +170,10 @@ def _conv_layer(conv_impl, nf, opts, param_dtype, dtype, name):
     same = str(opts.get('padding', '')).upper() == 'SAME'
     undilated = all(d == 1 for d in opts.get('kernel_dilation', (1,)))
     is_3d = len(opts['kernel_size']) == 3
+    if (conv_impl in ('auto', 'z2d', 'im2col') and undilated
+            and all(k == 1 for k in opts['kernel_size'])):
+        return PointwiseConv(nf, kernel_size=opts['kernel_size'],
+                             param_dtype=param_dtype, dtype=dtype, name=name)
     if conv_impl == 'im2col' and same and undilated:
         return Im2ColConv(nf, kernel_size=opts['kernel_size'],
                           param_dtype=param_dtype, dtype=dtype, name=name)
@@ -363,11 +402,12 @@ class ConvDec(nn.Module):
                                  axis=self.batch_norm,
                                  name=f'bn_up_{level}')(x)
 
-        # final 1x1 likelihood conv (no activation)
-        like = nn.Conv(self.nb_labels, kernel_size=(1,) * ndims,
-                       padding='SAME', param_dtype=self.param_dtype,
-                       dtype=self.dtype,
-                       name='likelihood')(x)
+        # final 1x1 likelihood conv (no activation); matmul-form avoids
+        # XLA's slow 1x1-conv weight-grad emitter (see PointwiseConv)
+        like = PointwiseConv(self.nb_labels, kernel_size=(1,) * ndims,
+                             param_dtype=self.param_dtype,
+                             dtype=self.dtype,
+                             name='likelihood')(x)
 
         if self.final_pred_activation == 'softmax':
             pred = jax.nn.softmax(like, axis=-1)
