@@ -66,9 +66,13 @@ def _max_pool_tiled_bwd(window, res, g):
     eq = x == _upsample(y, window)
     # first-max tie break: the winning element is the eq element with the
     # smallest intra-window index. Window sizes are tiny (e.g. 8 for 2^3)
-    # so the index field is exact in x's own dtype (no int32 traffic).
-    idx = _intra_window_index(x.shape, window, jnp.float32)
-    big = jnp.float32(np.prod(window))
+    # so the index field is exact even in bf16 (halves the reduce-min
+    # traffic vs f32; falls back to f32 for huge windows).
+    nwin = int(np.prod(window))
+    idt = x.dtype if (jnp.issubdtype(x.dtype, jnp.floating)
+                      and nwin <= 128) else jnp.float32
+    idx = _intra_window_index(x.shape, window, idt)
+    big = jnp.asarray(nwin, idt)
     cand = jnp.where(eq, idx, big)
     winner = _window_reduce(cand, window, big, lax.min)
     mask = cand == _upsample(winner, window)
