@@ -254,15 +254,20 @@ def main():
     # per-block windows + spread guard + gather fallback; auto-routes to
     # the Pallas kernel on TPU) — the headline general-warp path; exact
     # for arbitrary fields
+    # ~7-12ms kernels need longer chains than the 133ms gather path to
+    # resolve above tunnel noise (a 1-2 chain once measured negative)
     warp_win_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
             v, loc, impl='window', max_disp=3.0, block=(4, 8)),
-            wvol, 1, 2))
+            wvol, 1, 5))
     # bounded-displacement warp on the one-hot MXU engine: the loc field is
     # uniform +-3 so max_disp=3 makes it EXACT (ops.warp.interpn_onehot)
     warp_oh_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
-            v, loc, impl='onehot', max_disp=3.0), wvol, 1, 2))
+            v, loc, impl='onehot', max_disp=3.0), wvol, 1, 5))
+    # noise exceeded signal; omit rather than mislead
+    warp_win_s = warp_win_s if warp_win_s and warp_win_s > 0 else None
+    warp_oh_s = warp_oh_s if warp_oh_s and warp_oh_s > 0 else None
     s2d4_rate = with_deadline(lambda: s2d_rate(4), 300) if on_tpu else None
     synth_vps = with_deadline(synth_rate, 540) if on_tpu else None
     # resize is ~2ms — needs long chains to resolve above dispatch noise
