@@ -498,11 +498,16 @@ def separable_conv(x, kernels, axis=None, batched=False, padding='SAME',
             out = jnp.transpose(out, backward)
             return out if batched else out[0]
 
-    # each axis pass runs as a reshape-only 2-D conv [pre, ax, post, 1] with
-    # kernel (k, 1): XLA's TPU conv2d path is far faster than N-D convs with
-    # (1,..,k,..,1) kernels (the conv3d slow path — see ops/zdecomp.py), and
-    # the reshapes are contiguous views, no transposes.
+    # each axis pass runs as either a banded [L, L] MXU matmul (SAME/stride-1
+    # axes up to _MM_MAX_LEN — ops/conv_mm.py; a 1-channel conv wastes
+    # 127/128 MXU lanes, measured 16.5 -> 0.8ms for the synthesis bias blur
+    # at window 165, AND f32-exact where the conv path accumulates in bf16)
+    # or a reshape-only 2-D conv [pre, ax, post, 1] with kernel (k, 1):
+    # XLA's TPU conv2d path is far faster than N-D convs with (1,..,k,..,1)
+    # kernels (the conv3d slow path — see ops/zdecomp.py), and the reshapes
+    # are contiguous views, no transposes.
     del ones
+    from neurite_tpu.ops.conv_mm import _MM_MAX_LEN, conv1d_mm
     dn2 = jax.lax.conv_dimension_numbers(
         (1, 1, 1, 1), (1, 1, 1, 1), ('NHWC', 'HWIO', 'NHWC'))
 
@@ -513,10 +518,14 @@ def separable_conv(x, kernels, axis=None, batched=False, padding='SAME',
         pre = int(np.prod((x.shape[0],) + tuple(space[:ax])))
         post = int(np.prod(space[ax + 1:]))
         xr = x.reshape(pre, space[ax], post, 1)
-        out = jax.lax.conv_general_dilated(
-            xr, k.reshape(width, 1, 1, 1),
-            window_strides=(int(s), 1), padding=padding,
-            rhs_dilation=(int(d), 1), dimension_numbers=dn2)
+        if (str(padding).upper() == 'SAME' and int(s) == 1 and int(d) == 1
+                and space[ax] <= _MM_MAX_LEN):
+            out = conv1d_mm(xr, k)
+        else:
+            out = jax.lax.conv_general_dilated(
+                xr, k.reshape(width, 1, 1, 1),
+                window_strides=(int(s), 1), padding=padding,
+                rhs_dilation=(int(d), 1), dimension_numbers=dn2)
         new_ax = out.shape[1]
         x = out.reshape((x.shape[0], *space[:ax], new_ax, *space[ax + 1:], 1))
 
