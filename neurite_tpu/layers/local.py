@@ -200,6 +200,50 @@ def _extract_patches(x, kernel_size, strides, padding):
     return patches, out_shape
 
 
+def _lc_out_shape(spatial, kernel_size, strides, padding):
+    """Output spatial shape of a locally-connected conv."""
+    if padding == 'same':
+        spatial = [s + k - 1 for s, k in zip(spatial, kernel_size)]
+    return [(spatial[d] - kernel_size[d]) // strides[d] + 1
+            for d in range(len(kernel_size))]
+
+
+def _lc_per_tap(x, kernel, kernel_size, strides, padding, filters):
+    """
+    Locally-connected conv as a sum of per-tap VPU multiply-reduces.
+
+    y[b, v, o] = sum_tap sum_c shift_tap(x)[b, v, c] * k[v, tap*C + c, o].
+    Each term is elementwise over a shifted view of (padded) x and a static
+    channel-slice of the kernel — nothing is materialized at k^N size and
+    no batched matmul is emitted. Accumulation in f32.
+    """
+    ndims = len(kernel_size)
+    in_ch = x.shape[-1]
+    if padding == 'same':
+        pads = [(0, 0)]
+        for d in range(ndims):
+            total = kernel_size[d] - 1
+            pads.append((total // 2, total - total // 2))
+        pads.append((0, 0))
+        x = jnp.pad(x, pads)
+    out_shape = [(x.shape[1 + d] - kernel_size[d]) // strides[d] + 1
+                 for d in range(ndims)]
+    nb_out = int(np.prod(out_shape))
+
+    y = None
+    for tap, offsets in enumerate(
+            itertools.product(*[range(k) for k in kernel_size])):
+        sl = tuple(
+            slice(offsets[d], offsets[d] + (out_shape[d] - 1) * strides[d] + 1,
+                  strides[d]) for d in range(ndims))
+        xs = x[(slice(None), *sl, slice(None))]
+        xs = xs.reshape(xs.shape[0], nb_out, in_ch, 1)
+        kt = kernel[:, tap * in_ch:(tap + 1) * in_ch, :][None]
+        term = jnp.sum((xs * kt).astype(jnp.float32), axis=-2)
+        y = term if y is None else y + term
+    return y, out_shape
+
+
 class LocallyConnected(nn.Module):
     """
     N-D locally-connected (unshared-weight) convolution.
@@ -246,8 +290,8 @@ class LocallyConnected(nn.Module):
         # compiler crash when a z-decomposed conv trunk feeds this layer at
         # 160^3 (docs/DESIGN.md). Semantically the identity.
         x = jax.lax.optimization_barrier(x)
-        patches, out_shape = _extract_patches(x, ks, st, padding)
-        nb_out = int(np.prod(out_shape))
+        nb_out_sp = _lc_out_shape(x.shape[1:-1], ks, st, padding)
+        nb_out = int(np.prod(nb_out_sp))
         feature_dim = int(np.prod(ks)) * in_ch
 
         kernel = self.param('kernel', self.kernel_initializer,
@@ -256,13 +300,27 @@ class LocallyConnected(nn.Module):
         ct = self.dtype or x.dtype
         if kernel.dtype != ct:
             kernel = kernel.astype(ct)
-        if patches.dtype != ct:
-            patches = patches.astype(ct)
 
-        p = patches.reshape(patches.shape[0], nb_out, feature_dim)
-        # one batched local matmul on the MXU: [B,V,I] x [V,I,O] -> [B,V,O]
-        y = jnp.einsum('bvi,vio->bvo', p, kernel,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if in_ch * self.filters <= 64:
+            # head-style layers (tiny Cin x Cout per voxel): per-tap VPU
+            # multiply-reduce over shifted views. The batched-matmul einsum
+            # lowers to an XLA while-loop that MATERIALIZES the [V, k^N*C]
+            # patch tensor in f32 via serial dynamic-update-slices (measured
+            # ~120ms of a 171ms step for the 447M-param 160^3 head); the
+            # per-tap form never builds patches (171.5 -> 132.7ms;
+            # docs/DESIGN.md "LC head").
+            y, out_shape = _lc_per_tap(x.astype(ct), kernel, ks, st, padding,
+                                       self.filters)
+            y = y.astype(x.dtype)
+        else:
+            patches, out_shape = _extract_patches(x, ks, st, padding)
+            if patches.dtype != ct:
+                patches = patches.astype(ct)
+            p = patches.reshape(patches.shape[0], nb_out, feature_dim)
+            # one batched local matmul on the MXU:
+            # [B,V,I] x [V,I,O] -> [B,V,O]
+            y = jnp.einsum('bvi,vio->bvo', p, kernel,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
         y = y.reshape(y.shape[0], *out_shape, self.filters)
 
         if self.use_bias:
