@@ -12,6 +12,7 @@ weight slabs streamed from HBM.
 """
 
 import itertools
+import os
 from typing import Any, Callable, Optional, Sequence, Union
 
 import flax.linen as nn
@@ -301,7 +302,30 @@ class LocallyConnected(nn.Module):
         if kernel.dtype != ct:
             kernel = kernel.astype(ct)
 
-        if in_ch * self.filters <= 64:
+        use_pallas = (
+            os.environ.get('NEURITE_PALLAS_LC', '0') == '1'
+            and ndims == 3
+            and jax.default_backend() in ('tpu', 'axon'))
+        if use_pallas:
+            from neurite_tpu.ops import pallas_lc
+            use_pallas = pallas_lc.supported(x.shape, ks, self.filters, st,
+                                             padding)
+        if use_pallas:
+            # opt-in Pallas DMA kernel (ops/pallas_lc.py): per-block tap DMAs
+            # into a VMEM patch scratch + one VPU multiply-reduce; never
+            # materializes the [V, k^N*C] patch tensor in HBM. Gated behind
+            # NEURITE_PALLAS_LC=1 until the in-context step time is measured
+            # (Mosaic custom calls have degraded neighboring XLA programs
+            # before — docs/DESIGN.md "custom-call blast radius").
+            from neurite_tpu.ops import pallas_lc
+            vol3 = x.shape[1:-1]
+            xf = x.astype(ct).reshape(x.shape[0], -1, in_ch)
+            k2 = kernel[..., 0]
+            ys = [pallas_lc.lc3d_pallas(xf[b], k2, vol3, ks)
+                  for b in range(x.shape[0])]
+            y = jnp.stack(ys, 0).astype(x.dtype)
+            out_shape = list(vol3)
+        elif in_ch * self.filters <= 64:
             # head-style layers (tiny Cin x Cout per voxel): per-tap VPU
             # multiply-reduce over shifted views. The batched-matmul einsum
             # lowers to an XLA while-loop that MATERIALIZES the [V, k^N*C]

@@ -644,3 +644,70 @@ def test_max_pool_fallback_non_divisible():
     from neurite_tpu.ops.pool import max_pool
     x = jnp.asarray(rng.normal(size=(1, 7, 3)), jnp.float32)
     assert max_pool(x, (2,), padding='VALID').shape == (1, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Pallas locally-connected kernel (ops/pallas_lc.py) — interpret mode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('shape3,C,ks', [
+    ((6, 8, 8), 3, (3, 3, 3)),
+    ((4, 8, 16), 1, (3, 3, 3)),
+    ((8, 8, 8), 2, (3, 1, 3)),
+])
+def test_lc3d_pallas_matches_per_tap(shape3, C, ks):
+    from neurite_tpu.layers.local import _lc_per_tap
+    from neurite_tpu.ops import pallas_lc
+    D, H, W = shape3
+    V = D * H * W
+    K = int(np.prod(ks)) * C
+    x = jnp.asarray(rng.normal(size=(V, C)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(V, K)), jnp.float32)
+
+    want, _ = _lc_per_tap(x.reshape(1, D, H, W, C), k2.reshape(V, K, 1),
+                          ks, (1, 1, 1), 'same', 1)
+    want = want.reshape(V, 1)
+    got = pallas_lc.lc3d_pallas(x, k2, shape3, ks, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_lc3d_pallas_gradients():
+    from neurite_tpu.layers.local import _lc_per_tap
+    from neurite_tpu.ops import pallas_lc
+    D, H, W, C = 6, 8, 8, 3
+    ks = (3, 3, 3)
+    V, K = D * H * W, 27 * C
+    x = jnp.asarray(rng.normal(size=(V, C)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(V, K)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(V, 1)), jnp.float32)
+
+    def loss_ref(x, k2):
+        y, _ = _lc_per_tap(x.reshape(1, D, H, W, C), k2.reshape(V, K, 1),
+                           ks, (1, 1, 1), 'same', 1)
+        return jnp.sum(y.reshape(V, 1) * g)
+
+    def loss_pal(x, k2):
+        return jnp.sum(pallas_lc.lc3d_pallas(x, k2, (D, H, W), ks, True) * g)
+
+    dr = jax.grad(loss_ref, argnums=(0, 1))(x, k2)
+    dp = jax.grad(loss_pal, argnums=(0, 1))(x, k2)
+    np.testing.assert_allclose(np.asarray(dp[0]), np.asarray(dr[0]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp[1]), np.asarray(dr[1]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_lc3d_pallas_supported_gate():
+    from neurite_tpu.ops import pallas_lc
+    ok = pallas_lc.supported((1, 8, 8, 8, 3), (3, 3, 3), 1, (1, 1, 1), 'same')
+    assert ok
+    # rejects: multi-filter, even kernel, valid padding, wide channels
+    assert not pallas_lc.supported((1, 8, 8, 8, 3), (3, 3, 3), 2,
+                                   (1, 1, 1), 'same')
+    assert not pallas_lc.supported((1, 8, 8, 8, 3), (2, 3, 3), 1,
+                                   (1, 1, 1), 'same')
+    assert not pallas_lc.supported((1, 8, 8, 8, 3), (3, 3, 3), 1,
+                                   (1, 1, 1), 'valid')
+    assert not pallas_lc.supported((1, 8, 8, 8, 32), (3, 3, 3), 1,
+                                   (1, 1, 1), 'same')
