@@ -302,10 +302,11 @@ class LocallyConnected(nn.Module):
         if kernel.dtype != ct:
             kernel = kernel.astype(ct)
 
-        use_pallas = (
-            os.environ.get('NEURITE_PALLAS_LC', '0') == '1'
-            and ndims == 3
-            and jax.default_backend() in ('tpu', 'axon'))
+        lc_flag = os.environ.get('NEURITE_PALLAS_LC', '0')
+        interpret = lc_flag == 'interpret'  # CPU-testable wiring path
+        use_pallas = ndims == 3 and (
+            interpret or (lc_flag == '1'
+                          and jax.default_backend() in ('tpu', 'axon')))
         if use_pallas:
             from neurite_tpu.ops import pallas_lc
             use_pallas = pallas_lc.supported(x.shape, ks, self.filters, st,
@@ -321,7 +322,7 @@ class LocallyConnected(nn.Module):
             vol3 = x.shape[1:-1]
             xf = x.astype(ct).reshape(x.shape[0], -1, in_ch)
             k2 = kernel[..., 0]
-            ys = [pallas_lc.lc3d_pallas(xf[b], k2, vol3, ks)
+            ys = [pallas_lc.lc3d_pallas(xf[b], k2, vol3, ks, interpret)
                   for b in range(x.shape[0])]
             y = jnp.stack(ys, 0).astype(x.dtype)
             out_shape = list(vol3)

@@ -485,3 +485,43 @@ class TestTransformOps:
         out = ne.utils.rescale_dense_transform(field, 2)
         assert out.shape == (8, 8, 2)
         np.testing.assert_allclose(out, 2.0, rtol=1e-5)
+
+
+class TestLocallyConnectedPallasWiring:
+    """Layer-level parity of the NEURITE_PALLAS_LC path (interpret mode)."""
+
+    def test_pallas_path_matches_default(self, monkeypatch):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 3)).astype(np.float32))
+        layer = L.LocallyConnected3D(filters=1, kernel_size=3, padding='same')
+        v = layer.init(K0, x)
+        want = np.asarray(layer.apply(v, x))
+        monkeypatch.setenv('NEURITE_PALLAS_LC', 'interpret')
+        got = np.asarray(layer.apply(v, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_pallas_path_gradients_match(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 2)).astype(np.float32))
+        layer = L.LocallyConnected3D(filters=1, kernel_size=3, padding='same')
+        v = layer.init(K0, x)
+
+        def loss(v, x):
+            return jnp.sum(layer.apply(v, x) ** 2)
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(v, x)
+        monkeypatch.setenv('NEURITE_PALLAS_LC', 'interpret')
+        pw, px = jax.grad(loss, argnums=(0, 1))(v, x)
+        np.testing.assert_allclose(np.asarray(px), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(pw), jax.tree.leaves(gw)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_unsupported_shapes_fall_back(self, monkeypatch):
+        # filters=2 not supported by the kernel: must route to XLA silently
+        monkeypatch.setenv('NEURITE_PALLAS_LC', 'interpret')
+        x = jnp.zeros((1, 4, 4, 4, 2))
+        layer = L.LocallyConnected3D(filters=2, kernel_size=3, padding='same')
+        v = layer.init(K0, x)
+        assert layer.apply(v, x).shape == (1, 4, 4, 4, 2)
