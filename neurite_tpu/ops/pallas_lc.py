@@ -130,7 +130,8 @@ def _dk_kernel(xf_hbm, g_ref, dk_ref, patch, sem, *, offs, D, H, W, C, pad, blk)
         dma.wait()
     mask = _mask_block(v0, D, H, W, C, offs, jnp.float32, blk)
     p = patch[:, :].astype(jnp.float32) * mask
-    dk_ref[:, :] = p * g_ref[:, :].astype(jnp.float32)
+    dk_ref[:, :] = (p * g_ref[:, :].astype(jnp.float32)).astype(
+        dk_ref.dtype)
 
 
 def _dx_kernel(q_hbm, dx_ref, run, sem, *, offs, D, H, W, C, pad, blk):
@@ -228,14 +229,14 @@ def _run_dk(xf, g, shape3, kernel_size, kdtype, interpret=False):
         ],
         out_specs=pl.BlockSpec((blk, K), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((V, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((V, K), kdtype),
         scratch_shapes=[
             pltpu.VMEM((blk, K), xf.dtype),
             pltpu.SemaphoreType.DMA((len(offs),)),
         ],
         interpret=interpret,
     )(xp, g)
-    return dk.astype(kdtype)
+    return dk
 
 
 def _run_dx(q, shape3, kernel_size, xdtype, interpret=False):
@@ -286,7 +287,10 @@ def _lc3d_bwd(shape3, kernel_size, interpret, res, g):
     xf, kernel2 = res
     g = g.astype(jnp.float32)
     dk = _run_dk(xf, g, shape3, kernel_size, kernel2.dtype, interpret)
-    q = g * kernel2.astype(jnp.float32)  # keep f32 for exact accumulation
+    # q rides HBM at the kernel's dtype (halves dx-pass traffic for bf16
+    # params); products form in f32 and the dx kernel accumulates in f32 —
+    # the same precision contract as the forward
+    q = (g * kernel2.astype(jnp.float32)).astype(kernel2.dtype)
     dx = _run_dx(q, shape3, kernel_size, xf.dtype, interpret)
     return dx, dk
 

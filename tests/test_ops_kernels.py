@@ -711,3 +711,32 @@ def test_lc3d_pallas_supported_gate():
                                    (1, 1, 1), 'valid')
     assert not pallas_lc.supported((1, 8, 8, 8, 32), (3, 3, 3), 1,
                                    (1, 1, 1), 'same')
+
+
+def test_lc3d_pallas_bf16_kernel_grads():
+    # bf16 params: dk must come back bf16 and match the f32 path to bf16
+    # rounding; dx accumulates in f32 (same contract as the forward)
+    from neurite_tpu.ops import pallas_lc
+    D, H, W, C = 4, 8, 8, 2
+    ks = (3, 3, 3)
+    V, K = D * H * W, 27 * C
+    x = jnp.asarray(rng.normal(size=(V, C)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(V, K)), jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(V, 1)), jnp.float32)
+
+    def loss(x, k2):
+        return jnp.sum(pallas_lc.lc3d_pallas(x, k2, (D, H, W), ks, True) * g)
+
+    dx, dk = jax.grad(loss, argnums=(0, 1))(x, k2)
+    assert dk.dtype == jnp.bfloat16 and dx.dtype == jnp.float32
+
+    k2f = k2.astype(jnp.float32)
+
+    def loss_f(x, k2f):
+        return jnp.sum(pallas_lc.lc3d_pallas(x, k2f, (D, H, W), ks, True) * g)
+
+    dxf, dkf = jax.grad(loss_f, argnums=(0, 1))(x, k2f)
+    np.testing.assert_allclose(np.asarray(dk, np.float32), np.asarray(dkf),
+                               rtol=1e-2, atol=1e-2)  # bf16 rounding
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dxf),
+                               rtol=1e-2, atol=1e-2)
