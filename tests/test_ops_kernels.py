@@ -736,7 +736,11 @@ def test_lc3d_pallas_bf16_kernel_grads():
         return jnp.sum(pallas_lc.lc3d_pallas(x, k2f, (D, H, W), ks, True) * g)
 
     dxf, dkf = jax.grad(loss_f, argnums=(0, 1))(x, k2f)
-    np.testing.assert_allclose(np.asarray(dk, np.float32), np.asarray(dkf),
-                               rtol=1e-2, atol=1e-2)  # bf16 rounding
+    # dk: both paths round the same f32 product x*g to bf16 -> exact match
+    np.testing.assert_array_equal(np.asarray(dk, np.float32),
+                                  np.asarray(dkf.astype(jnp.bfloat16),
+                                             np.float32))
+    # dx: the bf16 path stores q = g*k rounded to bf16 (~0.4% per term,
+    # f32 accumulate) -> bounded relative error vs the f32-q path
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dxf),
-                               rtol=1e-2, atol=1e-2)
+                               rtol=2e-2, atol=1e-1)
