@@ -120,3 +120,45 @@ def test_resize_nearest_integer_factor_matches_torch():
     t = torch.from_numpy(vol[None, ..., 0][None]).double()
     want = F.interpolate(t, scale_factor=2, mode='nearest')[0, 0].numpy()
     np.testing.assert_allclose(got[..., 0], want, atol=1e-6)
+
+
+def test_affine_warp_matches_torch_affine_grid():
+    """
+    `transform(vol, affine_to_dense_shift(A))` samples at c + A_lin(u-c) +
+    A_t (center-shifted voxel coords). torch `affine_grid(theta,
+    align_corners=True)` maps output normalized coords n = (u-c)/c' to input
+    normalized coords; with C = diag(c') and P the axis reversal (torch grid
+    order is x,y,z = W,H,D), theta = [P C^-1 A_lin C P | P C^-1 A_t].
+    """
+    import torch.nn.functional as F
+    from neurite_tpu.utils import spatial
+
+    shape = (9, 10, 11)
+    vol = rng.normal(size=shape).astype(np.float32)
+
+    # near-identity affine: small rotation + scale + shift
+    A = np.eye(4)
+    th = 0.1
+    A[:3, :3] = np.asarray([
+        [np.cos(th), -np.sin(th), 0],
+        [np.sin(th), np.cos(th), 0],
+        [0, 0, 1.05]])
+    A[:3, 3] = [0.5, -0.3, 0.2]
+
+    shift = spatial.affine_to_dense_shift(jnp.asarray(A[:3]), shape,
+                                          shift_center=True)
+    got = np.asarray(spatial.transform(jnp.asarray(vol[..., None]), shift))
+
+    cp = np.asarray([(s - 1) / 2 for s in shape])
+    C = np.diag(cp)
+    Pm = np.eye(3)[::-1]  # axis reversal
+    theta = np.zeros((3, 4))
+    theta[:, :3] = Pm @ np.linalg.inv(C) @ A[:3, :3] @ C @ Pm
+    theta[:, 3] = Pm @ np.linalg.inv(C) @ A[:3, 3]
+
+    t = torch.from_numpy(vol)[None, None].double()
+    g = F.affine_grid(torch.from_numpy(theta)[None].double(),
+                      (1, 1) + shape, align_corners=True)
+    want = F.grid_sample(t, g, align_corners=True,
+                         padding_mode='border')[0, 0].numpy()
+    np.testing.assert_allclose(got[..., 0], want, rtol=1e-4, atol=1e-4)
