@@ -162,3 +162,77 @@ def test_affine_warp_matches_torch_affine_grid():
     want = F.grid_sample(t, g, align_corners=True,
                          padding_mode='border')[0, 0].numpy()
     np.testing.assert_allclose(got[..., 0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_z2d_matches_torch_conv3d():
+    """The z-decomposed 3-D conv (UNet trunk fast path) vs torch conv3d.
+
+    nn.Conv / conv_z2d compute cross-correlation with HWIO kernels; torch
+    conv3d also cross-correlates but expects OIDHW — permute only.
+    """
+    import torch.nn.functional as F
+    from neurite_tpu.ops.zdecomp import conv_z2d
+
+    x = rng.normal(size=(2, 6, 7, 8, 3)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32)  # [kd,kh,kw,I,O]
+    bias = rng.normal(size=4).astype(np.float32)
+
+    got = np.asarray(conv_z2d(jnp.asarray(x), jnp.asarray(k),
+                              jnp.asarray(bias)))
+
+    t = torch.from_numpy(np.moveaxis(x, -1, 1)).double()        # NCDHW
+    w = torch.from_numpy(np.transpose(k, (4, 3, 0, 1, 2))).double()  # OIDHW
+    want = F.conv3d(t, w, bias=torch.from_numpy(bias).double(),
+                    padding=1).numpy()
+    want = np.moveaxis(want, 1, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_integrate_vec_matches_rk4_flow():
+    """
+    Scaling-and-squaring must approximate the flow of the SVF: phi(x) =
+    x + u(x) with dphi/dt = v(phi). Oracle: per-point RK4 integration of
+    the velocity field (linear interpolation, fully independent numpy code).
+    """
+    from scipy.ndimage import map_coordinates
+    from neurite_tpu.utils import spatial
+
+    shape = (16, 16, 16)
+    # smooth small field: low-frequency sinusoids, max |v| ~ 0.8 voxels
+    # (curvature kept low: the squaring path linearly interpolates the
+    # field, so the comparison floor is the interp error, not semantics)
+    g = np.stack(np.meshgrid(*[np.arange(s, dtype=np.float64)
+                               for s in shape], indexing='ij'), -1)
+    v = np.stack([
+        0.8 * np.sin(2 * np.pi * g[..., 1] / 16) *
+        np.cos(2 * np.pi * g[..., 2] / 16),
+        0.6 * np.cos(2 * np.pi * g[..., 0] / 16),
+        0.7 * np.sin(2 * np.pi * g[..., 0] / 16) *
+        np.sin(2 * np.pi * g[..., 1] / 16),
+    ], -1)
+
+    u = np.asarray(spatial.integrate_vec(jnp.asarray(v, jnp.float32),
+                                         nb_steps=8), np.float64)
+
+    def vel(p):  # linear interp of v at points p: [n, 3]
+        return np.stack([map_coordinates(v[..., d], p.T, order=1,
+                                         mode='nearest') for d in range(3)],
+                        -1)
+
+    # RK4 on interior sample points (avoid edges: clamping vs 'nearest')
+    pts = g[3:-3:2, 3:-3:2, 3:-3:2].reshape(-1, 3)
+    x = pts.copy()
+    n, dt = 64, 1.0 / 64
+    for _ in range(n):
+        k1 = vel(x)
+        k2 = vel(x + 0.5 * dt * k1)
+        k3 = vel(x + 0.5 * dt * k2)
+        k4 = vel(x + dt * k3)
+        x = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+    want = x - pts
+
+    # sample u at the same points
+    got = np.stack([map_coordinates(u[..., d], pts.T, order=1)
+                    for d in range(3)], -1)
+    err = np.abs(got - want).max()
+    assert err < 5e-3, f'flow mismatch {err}'
