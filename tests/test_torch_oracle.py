@@ -236,3 +236,44 @@ def test_integrate_vec_matches_rk4_flow():
                     for d in range(3)], -1)
     err = np.abs(got - want).max()
     assert err < 5e-3, f'flow mismatch {err}'
+
+
+def test_mi_maps_matches_sklearn_discrete():
+    """
+    With HARD one-hot bin maps, `MutualInformation.maps` reduces to discrete
+    MI from the contingency table — exactly what sklearn's
+    mutual_info_score computes (nats). Exact-formula oracle.
+    """
+    sklearn_metrics = pytest.importorskip('sklearn.metrics')
+    from neurite_tpu import metrics as ne_metrics
+
+    n, B = 5000, 6
+    a = rng.integers(0, B, size=n)
+    b = (a + rng.integers(0, 2, size=n)) % B  # correlated labels
+    x = np.eye(B, dtype=np.float32)[a][None]  # [1, n, B]
+    y = np.eye(B, dtype=np.float32)[b][None]
+
+    got = float(np.asarray(
+        ne_metrics.MutualInformation(nb_bins=B).maps(jnp.asarray(x),
+                                                     jnp.asarray(y)))[0])
+    want = sklearn_metrics.mutual_info_score(a, b)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_mi_volumes_approximates_sklearn_binned():
+    """Soft-binned volume MI must track hard-binned discrete MI closely."""
+    sklearn_metrics = pytest.importorskip('sklearn.metrics')
+    from neurite_tpu import metrics as ne_metrics
+
+    n = 40000
+    a = rng.uniform(0, 1, size=n)
+    b = np.clip(a + rng.normal(0, 0.15, size=n), 0, 1)
+    mi = ne_metrics.MutualInformation(nb_bins=16, min_clip=0., max_clip=1.)
+    got = float(np.asarray(mi.volumes(
+        jnp.asarray(a.reshape(1, -1, 1), jnp.float32),
+        jnp.asarray(b.reshape(1, -1, 1), jnp.float32)))[0])
+    bins = np.clip((a * 16).astype(int), 0, 15), \
+        np.clip((b * 16).astype(int), 0, 15)
+    want = sklearn_metrics.mutual_info_score(*bins)
+    # soft binning blurs the histogram: expect the same scale, not equality
+    assert 0.5 * want < got < 1.5 * want, (got, want)
