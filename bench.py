@@ -63,7 +63,13 @@ def roofline_frac(jitfn, args, measured_s):
 
 
 def main():
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # TPU pool unavailable (axon claim failed): report the CPU-scaled
+        # bench rather than nothing
+        jax.config.update('jax_platforms', 'cpu')
+        backend = jax.default_backend()
     on_tpu = backend not in ('cpu',)
 
     # full config on accelerator; reduced on CPU so the bench stays runnable
