@@ -98,7 +98,7 @@ def _fwd_kernel(xf_hbm, k_ref, o_ref, patch, sem, *, offs, D, H, W, C, pad, blk)
     # start all tap DMAs (xf_hbm is the flat [pad + V + pad, C] volume;
     # +pad keeps every shifted run in bounds)
     dmas = []
-    for t, (off, dz, dy, dx) in enumerate(offs):
+    for t, (off, _, _, _) in enumerate(offs):
         dma = pltpu.make_async_copy(
             xf_hbm.at[pl.ds(v0 + off + pad, blk), :],
             patch.at[:, pl.ds(t * C, C)],
@@ -119,7 +119,7 @@ def _dk_kernel(xf_hbm, g_ref, dk_ref, patch, sem, *, offs, D, H, W, C, pad, blk)
     i = pl.program_id(0)
     v0 = i * blk
     dmas = []
-    for t, (off, dz, dy, dx) in enumerate(offs):
+    for t, (off, _, _, _) in enumerate(offs):
         dma = pltpu.make_async_copy(
             xf_hbm.at[pl.ds(v0 + off + pad, blk), :],
             patch.at[:, pl.ds(t * C, C)],
@@ -146,14 +146,13 @@ def _dx_kernel(q_hbm, dx_ref, run, sem, *, offs, D, H, W, C, pad, blk):
     i = pl.program_id(0)
     v0 = i * blk
     acc = jnp.zeros((blk, C), jnp.float32)
-    n = len(offs)
     # reversed-tap mask: u - off_t in volume AND its per-axis deltas legal
     u = v0 + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
     w = u % W
     y = (u // W) % H
     z = u // (W * H)
     dmas = []
-    for t, (off, dz, dy, dx) in enumerate(offs):
+    for t, (off, _, _, _) in enumerate(offs):
         dma = pltpu.make_async_copy(
             q_hbm.at[pl.ds(v0 - off + pad, blk), pl.ds(t * C, C)],
             run.at[:, pl.ds(t * C, C)],
