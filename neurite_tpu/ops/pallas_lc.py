@@ -190,7 +190,7 @@ def _run_fwd(xf, kernel2, shape3, kernel_size, interpret=False):
                           pad=pad, blk=blk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((blk, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -222,7 +222,7 @@ def _run_dk(xf, g, shape3, kernel_size, kdtype, interpret=False):
                           pad=pad, blk=blk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((blk, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -253,7 +253,7 @@ def _run_dx(q, shape3, kernel_size, xdtype, interpret=False):
         functools.partial(_dx_kernel, offs=offs, D=D, H=H, W=W, C=C,
                           pad=pad, blk=blk),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((blk, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((V, C), jnp.float32),
