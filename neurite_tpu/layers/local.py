@@ -318,6 +318,9 @@ class LocallyConnected(nn.Module):
             # NEURITE_PALLAS_LC=1 until the in-context step time is measured
             # (Mosaic custom calls have degraded neighboring XLA programs
             # before — docs/DESIGN.md "custom-call blast radius").
+            # SINGLE-CHIP ONLY: GSPMD cannot partition the custom call, so
+            # keep this off when sharding the head with param_specs
+            # (tensor-parallel) or spatial sharding.
             from neurite_tpu.ops import pallas_lc
             vol3 = x.shape[1:-1]
             xf = x.astype(ct).reshape(x.shape[0], -1, in_ch)
