@@ -126,10 +126,53 @@ def interpn_pallas(vol, loc, interp_method='linear', fill_value=None,
     |loc - grid| <= max_disp (dynamic windows absorb global translations);
     C=1 volumes; W must be a multiple of 128 (callers pad or fall back).
 
+    Differentiable: the custom VJP rides the exact gather chain
+    (`utils.interpn`), whose value — and therefore gradient — matches the
+    kernel whenever the window contract holds.
+
     vol: [D, H, W] or [B, D, H, W]; loc: [*out, 3] or [B, *out, 3].
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
+    return _interpn_pallas_ad(jnp.asarray(vol), jnp.asarray(loc),
+                              interp_method, fill_value, float(max_disp),
+                              tuple(block), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _interpn_pallas_ad(vol, loc, interp_method, fill_value, max_disp, block,
+                       interpret):
+    return _interpn_pallas_impl(vol, loc, interp_method, fill_value,
+                                max_disp, block, interpret)
+
+
+def _interpn_pallas_ad_fwd(vol, loc, interp_method, fill_value, max_disp,
+                           block, interpret):
+    out = _interpn_pallas_impl(vol, loc, interp_method, fill_value, max_disp,
+                               block, interpret)
+    return out, (vol, loc)
+
+
+def _interpn_pallas_ad_bwd(interp_method, fill_value, max_disp, block,
+                           interpret, res, g):
+    from neurite_tpu.utils import core
+    vol, loc = res
+
+    def f(v, l):
+        return core.interpn(v, l, interp_method=interp_method,
+                            fill_value=fill_value)
+
+    fn = jax.vmap(f) if loc.ndim == 5 else f
+    _, vjp = jax.vjp(fn, vol.astype(jnp.float32), loc.astype(jnp.float32))
+    dv, dl = vjp(g.astype(jnp.float32))
+    return dv.astype(vol.dtype), dl.astype(loc.dtype)
+
+
+_interpn_pallas_ad.defvjp(_interpn_pallas_ad_fwd, _interpn_pallas_ad_bwd)
+
+
+def _interpn_pallas_impl(vol, loc, interp_method, fill_value, max_disp,
+                         block, interpret):
     assert loc.shape[-1] == 3, 'interpn_pallas is the 3-D engine'
     vol = jnp.asarray(vol)
     batched = loc.ndim == 5

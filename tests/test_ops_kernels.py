@@ -744,3 +744,44 @@ def test_lc3d_pallas_bf16_kernel_grads():
     # f32 accumulate) -> bounded relative error vs the f32-q path
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dxf),
                                rtol=2e-2, atol=1e-1)
+
+
+def test_interpn_pallas_gradient_matches_gather():
+    # the custom VJP must equal grad of the exact gather chain in-window
+    from neurite_tpu.ops import pallas_warp
+    D, H, W = 8, 8, 128
+    vol = jnp.asarray(rng.normal(size=(D, H, W)), jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32)
+                                    for s in (D, H, W)], indexing='ij'), -1)
+    loc = grid + jnp.asarray(rng.uniform(-1.5, 1.5, size=(D, H, W, 3)),
+                             jnp.float32)
+
+    def loss_p(v, l):
+        return jnp.sum(pallas_warp.interpn_pallas(
+            v, l, max_disp=3.0, block=(4, 8), interpret=True) ** 2)
+
+    def loss_g(v, l):
+        return jnp.sum(core.interpn(v, l) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(vol, loc)
+    gg = jax.grad(loss_g, argnums=(0, 1))(vol, loc)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gg[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gg[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_interpn_window_differentiable():
+    # impl='window' must be differentiable end-to-end (cond over engines)
+    from neurite_tpu.ops import warp as warp_mod
+    D, H, W = 8, 8, 16
+    vol = jnp.asarray(rng.normal(size=(D, H, W)), jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32)
+                                    for s in (D, H, W)], indexing='ij'), -1)
+    loc = grid + 0.4
+
+    def loss(v):
+        return jnp.sum(warp_mod.interpn_window(v, loc, window_pad=3) ** 2)
+
+    g = jax.grad(loss)(vol)
+    assert np.isfinite(np.asarray(g)).all()
