@@ -525,3 +525,11 @@ class TestLocallyConnectedPallasWiring:
         layer = L.LocallyConnected3D(filters=2, kernel_size=3, padding='same')
         v = layer.init(K0, x)
         assert layer.apply(v, x).shape == (1, 4, 4, 4, 2)
+
+    def test_flag_on_cpu_backend_falls_back(self, monkeypatch):
+        # '1' requires a TPU backend; on CPU it must silently take XLA
+        monkeypatch.setenv('NEURITE_PALLAS_LC', '1')
+        x = jnp.ones((1, 4, 4, 4, 2))
+        layer = L.LocallyConnected3D(filters=1, kernel_size=3, padding='same')
+        v = layer.init(K0, x)
+        assert layer.apply(v, x).shape == (1, 4, 4, 4, 1)
