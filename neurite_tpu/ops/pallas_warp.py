@@ -130,13 +130,32 @@ def interpn_pallas(vol, loc, interp_method='linear', fill_value=None,
     (`utils.interpn`), whose value — and therefore gradient — matches the
     kernel whenever the window contract holds.
 
-    vol: [D, H, W] or [B, D, H, W]; loc: [*out, 3] or [B, *out, 3].
+    vol: [D, H, W] or [B, D, H, W], optionally with a trailing channel axis
+    (shape disambiguated by loc.ndim); loc: [*out, 3] or [B, *out, 3].
+    Channels fold into the kernel's batch grid dim (each channel warps with
+    the same loc) — the loc-derived fields are repeated per channel, so loc
+    traffic scales with C; profitable for small C.
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
-    return _interpn_pallas_ad(jnp.asarray(vol), jnp.asarray(loc),
-                              interp_method, fill_value, float(max_disp),
-                              tuple(block), bool(interpret))
+    vol = jnp.asarray(vol)
+    loc = jnp.asarray(loc)
+    batched = loc.ndim == 5
+    has_ch = vol.ndim == (5 if batched else 4)
+    if not has_ch:
+        return _interpn_pallas_ad(vol, loc, interp_method, fill_value,
+                                  float(max_disp), tuple(block),
+                                  bool(interpret))
+    # fold channels into the batch grid dim
+    vb = vol if batched else vol[None]
+    lb = loc if batched else loc[None]
+    B, C = vb.shape[0], vb.shape[-1]
+    vf = jnp.moveaxis(vb, -1, 1).reshape((B * C,) + vb.shape[1:-1])
+    lf = jnp.repeat(lb, C, axis=0)
+    out = _interpn_pallas_ad(vf, lf, interp_method, fill_value,
+                             float(max_disp), tuple(block), bool(interpret))
+    out = jnp.moveaxis(out.reshape((B, C) + out.shape[1:]), 1, -1)
+    return out if batched else out[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

@@ -785,3 +785,45 @@ def test_interpn_window_differentiable():
 
     g = jax.grad(loss)(vol)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize('batched', [False, True])
+def test_interpn_pallas_channels_match_generic(batched):
+    from neurite_tpu.ops import pallas_warp
+    D, H, W, C = 6, 8, 128, 3
+    vol = jnp.asarray(rng.normal(size=(D, H, W, C)), jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32)
+                                    for s in (D, H, W)], indexing='ij'), -1)
+    loc = grid + jnp.asarray(rng.uniform(-1.5, 1.5, size=(D, H, W, 3)),
+                             jnp.float32)
+    want = core.interpn(vol, loc, fill_value=0.)
+    v, l = (vol[None], loc[None]) if batched else (vol, loc)
+    got = pallas_warp.interpn_pallas(v, l, fill_value=0., max_disp=3.0,
+                                     block=(2, 4), interpret=True)
+    if batched:
+        got = got[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_interpn_pallas_channels_gradient():
+    from neurite_tpu.ops import pallas_warp
+    D, H, W, C = 4, 8, 128, 2
+    vol = jnp.asarray(rng.normal(size=(D, H, W, C)), jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32)
+                                    for s in (D, H, W)], indexing='ij'), -1)
+    loc = grid + 0.3
+
+    def loss_p(v, l):
+        return jnp.sum(pallas_warp.interpn_pallas(
+            v, l, max_disp=2.0, block=(2, 4), interpret=True) ** 2)
+
+    def loss_g(v, l):
+        return jnp.sum(core.interpn(v, l) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(vol, loc)
+    gg = jax.grad(loss_g, argnums=(0, 1))(vol, loc)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gg[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gg[1]),
+                               rtol=1e-4, atol=1e-4)
