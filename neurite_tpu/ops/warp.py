@@ -342,17 +342,21 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
 
     no_channel = vol_b.ndim == 4
     squeeze1 = vol_b.ndim == 5 and vol_b.shape[-1] == 1
+    # channels fold into the kernel's batch grid dim (loc traffic scales
+    # with C) — 'auto' only picks pallas for C=1 (the measured win); wider
+    # volumes are opt-in via engine='pallas'
+    small_ch = vol_b.ndim == 5 and vol_b.shape[-1] <= 8
     W = vol_shape[2]
-    pallas_ok = ((no_channel or squeeze1) and W % 128 == 0
-                 and loc_b.shape[3] == W
-                 and interp_method in ('linear', 'nearest'))
+    shape_ok = (W % 128 == 0 and loc_b.shape[3] == W
+                and interp_method in ('linear', 'nearest'))
+    pallas_ok = (no_channel or squeeze1 or small_ch) and shape_ok
     if engine == 'auto':
         import jax as _jax
-        engine = 'pallas' if (pallas_ok
+        engine = 'pallas' if ((no_channel or squeeze1) and shape_ok
                               and _jax.default_backend() == 'tpu') else 'xla'
     if engine == 'pallas':
-        assert pallas_ok, ('pallas engine needs a single-channel volume '
-                           'with x extent = W and W % 128 == 0')
+        assert pallas_ok, ('pallas engine needs a single-/small-channel '
+                           'volume with x extent = W and W % 128 == 0')
         pblock = (block[0], block[1])
     else:
         pblock = None
