@@ -5,12 +5,10 @@ pallas_warp/blur/mi kernels compile fine).
 Each probe is a minimal pallas_call exercising ONE suspect pattern at tiny
 shapes; run on TPU, prints OK/FAIL per probe.
 """
-import functools
 import os
 import sys
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -23,12 +21,18 @@ V = BLK * 4
 K = T * C
 
 
-def probe(name, fn):
+failures = []
+
+
+def probe(name, fn, expect):
+    """expect: scalar every output element must equal (numpy oracle) —
+    OK means compiled AND correct, not just compiled (ADVICE r2)."""
     try:
-        r = jax.jit(fn)()
-        np.asarray(r.ravel()[:1])
+        r = np.asarray(jax.jit(fn)())
+        np.testing.assert_allclose(r, np.full_like(r, expect), rtol=1e-6)
         print(f'{name:34s} OK', flush=True)
     except Exception as e:
+        failures.append(name)
         print(f'{name:34s} FAIL: {type(e).__name__}: {str(e)[:140]}',
               flush=True)
 
@@ -144,8 +148,11 @@ def p5():
 
 if __name__ == '__main__':
     print('backend:', jax.default_backend(), flush=True)
-    probe('p1 single DMA scalar sem', p1)
-    probe('p2 27 DMA col-slice f32', p2)
-    probe('p3 27 DMA tap-plane 3D scratch', p3)
-    probe('p4 K=108 VMEM block reduce', p4)
-    probe('p5 27 DMA col-slice bf16', p5)
+    probe('p1 single DMA scalar sem', p1, 2.)
+    probe('p2 27 DMA col-slice f32', p2, float(K))
+    probe('p3 27 DMA tap-plane 3D scratch', p3, float(T))
+    probe('p4 K=108 VMEM block reduce', p4, float(K))
+    probe('p5 27 DMA col-slice bf16', p5, float(K))
+    if failures:
+        print(f'FAILED probes: {failures}', flush=True)
+        sys.exit(1)

@@ -5,7 +5,6 @@ import os
 import sys
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -17,12 +16,18 @@ BLK, C = 256, 4
 V = BLK * 4
 
 
-def probe(name, fn):
+failures = []
+
+
+def probe(name, fn, expect):
+    """expect: scalar every output element must equal — OK means compiled
+    AND correct (ADVICE r2)."""
     try:
-        r = jax.jit(fn)()
-        np.asarray(r.ravel()[:1])
+        r = np.asarray(jax.jit(fn)())
+        np.testing.assert_allclose(r, np.full_like(r, expect), rtol=1e-6)
         print(f'{name:40s} OK', flush=True)
     except Exception as e:
+        failures.append(name)
         print(f'{name:40s} FAIL: {type(e).__name__}: {str(e)[:100]}',
               flush=True)
 
@@ -78,7 +83,10 @@ def overlap_sem_array(T):
 
 if __name__ == '__main__':
     print('backend:', jax.default_backend(), flush=True)
-    probe('serial scalar-sem T=2', lambda: serial_scalar_sem(2))
-    probe('overlap sem-array T=2', lambda: overlap_sem_array(2))
-    probe('serial scalar-sem T=27', lambda: serial_scalar_sem(27))
-    probe('overlap sem-array T=4', lambda: overlap_sem_array(4))
+    probe('serial scalar-sem T=2', lambda: serial_scalar_sem(2), 2.)
+    probe('overlap sem-array T=2', lambda: overlap_sem_array(2), 2.)
+    probe('serial scalar-sem T=27', lambda: serial_scalar_sem(27), 27.)
+    probe('overlap sem-array T=4', lambda: overlap_sem_array(4), 4.)
+    if failures:
+        print(f'FAILED probes: {failures}', flush=True)
+        sys.exit(1)

@@ -56,6 +56,8 @@ def main():
     z = layer.apply(v, [y_full * mask, mask])       # masked lstsq encode
     recon = layer.apply(v, z)                       # dense decode
     print('imputation: z', z.shape, '-> recon', recon.shape)
+    return {'loss': float(metrics['loss']), 'mu_shape': stats['mu'].shape,
+            'z_shape': z.shape, 'recon_shape': recon.shape}
 
 
 if __name__ == '__main__':

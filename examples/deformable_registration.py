@@ -70,6 +70,7 @@ def main():
           f'(disp max {float(jnp.abs(spatial.integrate_vec(vel, 5)).max()):.2f} vox)')
     assert mi1 > mi0 + 0.05, 'registration failed to improve MI'
     print('OK')
+    return {'mi_before': float(mi0), 'mi_after': float(mi1)}
 
 
 def _update(vel, opt_state, loss_fn, tx):

@@ -39,6 +39,7 @@ def main():
     for i in range(5):
         state, metrics = sharded(state, batch_on_mesh, jax.random.PRNGKey(i))
         print(f'step {i}: loss {float(metrics["loss"]):.4f}')
+    return {'loss': float(metrics['loss'])}
 
 
 if __name__ == '__main__':

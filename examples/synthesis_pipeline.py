@@ -46,6 +46,7 @@ def main():
     for i in range(10):
         state, metrics = synth_step(state, labels, jax.random.PRNGKey(i))
         print(f'step {i}: loss {float(metrics["loss"]):.4f}')
+    return {'loss': float(metrics['loss'])}
 
 
 if __name__ == '__main__':

@@ -47,6 +47,7 @@ def main():
         state, metrics = step(state, (labels, labels), jax.random.PRNGKey(i))
         if i % 3 == 0:
             print(f'step {i}: loss {float(metrics["loss"]):.4f}')
+    return {'loss': float(metrics['loss'])}
 
 
 if __name__ == '__main__':

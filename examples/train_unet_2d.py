@@ -46,6 +46,7 @@ def main():
                    ne.callbacks.TimeHistory()],
         log_every=20)
     print('final loss:', history[-1]['loss'])
+    return {'final_loss': float(history[-1]['loss'])}
 
 
 if __name__ == '__main__':

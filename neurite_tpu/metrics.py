@@ -21,13 +21,31 @@ from neurite_tpu import ops
 EPSILON = 1e-7  # keras backend epsilon, for formula-level parity
 
 
-def _check_limits(x, name):
-    """Host-side range check when values are concrete (tracing skips it)."""
+def _check_limits(x, name, mode=True, lo=0., hi=1.):
+    """
+    Range check mirroring the reference's in-graph asserts
+    (`neurite/tf/metrics.py:441-444,250-251`).
+
+    mode True: host-side check when values are concrete (tracing skips it —
+        free in compiled steps, catches eager misuse).
+    mode 'checkify': an IN-GRAPH `checkify.check` that fires under jit too —
+        wrap the caller in `jax.experimental.checkify.checkify(...,
+        errors=checkify.user_checks)` (or use
+        `training.make_checked_train_step`) and call `err.throw()`.
+    mode False/None: skip.
+    """
+    if mode is None or mode is False:
+        return
+    if mode == 'checkify':
+        from jax.experimental import checkify
+        ok = jnp.all((x >= lo) & (x <= hi)) | (x.size == 0)
+        checkify.check(ok, f'{name}: value outside range [{lo}, {hi}]')
+        return
     if isinstance(x, jax.core.Tracer):
         return
     xn = np.asarray(x)
-    if xn.size and (xn.min() < 0 or xn.max() > 1):
-        raise ValueError(f'{name}: value outside range [0, 1]')
+    if xn.size and (xn.min() < lo or xn.max() > hi):
+        raise ValueError(f'{name}: value outside range [{lo}, {hi}]')
 
 
 class MutualInformation:
@@ -43,7 +61,10 @@ class MutualInformation:
     """
 
     def __init__(self, bin_centers=None, nb_bins=None, soft_bin_alpha=None,
-                 min_clip=None, max_clip=None):
+                 min_clip=None, max_clip=None, check_input_limits=True):
+        # non-negativity of probability maps (reference metrics.py:250-251);
+        # True = host check, 'checkify' = in-graph assert under jit
+        self.check_input_limits = check_input_limits
         self.bin_centers = None
         if bin_centers is not None:
             self.bin_centers = jnp.asarray(bin_centers, jnp.float32)
@@ -113,6 +134,9 @@ class MutualInformation:
         including epsilon placement).
         """
         assert x.shape[:-1] == y.shape[:-1], 'map shapes do not match'
+        if self.check_input_limits:
+            _check_limits(x, 'x', self.check_input_limits, 0., np.inf)
+            _check_limits(y, 'y', self.check_input_limits, 0., np.inf)
         eps = EPSILON
 
         if x.ndim != 3:
@@ -227,8 +251,8 @@ class Dice:
                 y_pred = _safe_norm(y_pred)
 
             if self.check_input_limits:
-                _check_limits(y_true, 'y_true')
-                _check_limits(y_pred, 'y_pred')
+                _check_limits(y_true, 'y_true', self.check_input_limits)
+                _check_limits(y_pred, 'y_pred', self.check_input_limits)
 
         if self.dice_type == 'hard':
             nb_labels = self.nb_labels

@@ -175,11 +175,18 @@ def make_checked_train_step(loss_fn, **kwargs):
 
     Returns step(state, batch, rng) -> (error, (new_state, metrics)); call
     `error.throw()` on the host to raise on failure.
+
+    Metric range guards: losses built with `check_input_limits='checkify'`
+    (Dice/MutualInformation) emit in-graph `checkify.check` asserts — the
+    jit-compatible equivalent of the reference's
+    `tf.debugging.assert_*` range checks (`neurite/tf/metrics.py:441-444`)
+    — which this wrapper discharges (user_checks) alongside NaN/index checks.
     """
     from jax.experimental import checkify
     base = make_train_step(loss_fn, **kwargs)
     return checkify.checkify(
-        base, errors=checkify.float_checks | checkify.index_checks)
+        base, errors=(checkify.float_checks | checkify.index_checks
+                      | checkify.user_checks))
 
 
 def save_checkpoint(path, state: TrainState, extra=None):

