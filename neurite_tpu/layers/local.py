@@ -329,14 +329,23 @@ class LocallyConnected(nn.Module):
                   for b in range(x.shape[0])]
             y = jnp.stack(ys, 0).astype(x.dtype)
             out_shape = list(vol3)
+        elif in_ch * self.filters <= 64 and all(s == 1 for s in st):
+            # head-style layers (tiny Cin x Cout per voxel): lane-friendly
+            # tap-sum with a custom VJP (ops/lc_tap.py). The keras weight
+            # layout keeps C on the minor dim, so XLA's own forms run
+            # [V, C]-shaped ops at C/128 lane utilization (the einsum
+            # additionally materializes the patch tensor through serial
+            # dynamic-update-slices — ~120ms of a 171ms step at 160^3);
+            # lc_tapsum keeps the lane axis spatial in fwd AND bwd
+            # (132.7 -> 39.9ms measured step; docs/DESIGN.md "LC head").
+            from neurite_tpu.ops import lc_tap
+            y = lc_tap.lc_tapsum(x.astype(ct), kernel, ks, padding)
+            y = y.astype(x.dtype)
+            out_shape = _lc_out_shape(x.shape[1:-1], ks, st, padding)
+            y = y.reshape(y.shape[0], nb_out, self.filters)
         elif in_ch * self.filters <= 64:
-            # head-style layers (tiny Cin x Cout per voxel): per-tap VPU
-            # multiply-reduce over shifted views. The batched-matmul einsum
-            # lowers to an XLA while-loop that MATERIALIZES the [V, k^N*C]
-            # patch tensor in f32 via serial dynamic-update-slices (measured
-            # ~120ms of a 171ms step for the 447M-param 160^3 head); the
-            # per-tap form never builds patches (171.5 -> 132.7ms;
-            # docs/DESIGN.md "LC head").
+            # strided small-C fallback: per-tap VPU multiply-reduce over
+            # shifted views (no patch materialization)
             y, out_shape = _lc_per_tap(x.astype(ct), kernel, ks, st, padding,
                                        self.filters)
             y = y.astype(x.dtype)

@@ -118,13 +118,161 @@ def _warp_p(vol, loz, loy, lox, wz, wy, wx, z0, y0, *, Sz, Sy, bz, by,
     )(z0, y0, loz, loy, lox, wz, wy, wx, vol)
 
 
+# ---------------------------------------------------------------------------
+# v2: VPU gather/select kernel (round 3)
+#
+# The v1 kernel above selects the 4 (z, y) corner taps with one [W, K] @
+# [K, W] one-hot MXU matmul per output row — 2*K*W flops per point for ~8
+# useful MACs. v2 drops the matmuls:
+#
+#   - per-point x taps ride within-vreg lane gathers (`take_along_axis` on
+#     [by, W] tiles — Mosaic's single-vreg tpu.dynamic_gather). x-selection
+#     MUST come first (on raw slab rows): the z/y masks carry each point's
+#     own corner weights, so any post-aggregation x shift would mix values
+#     formed with the wrong lanes' weights;
+#   - the (z, y) window taps reduce by masked fma with HAT-function masks
+#     `relu(1 - |cl - row|)` (exactly the reference corner weights incl.
+#     the corner-collapse clipping, computed straight from the clipped
+#     float location — no int fields needed);
+#   - the y window is SHEARED: slice k of a slab z-plane holds, on sublane
+#     j, slab row j + k — so each output row's own window rows align with
+#     its sublane and a window of q = 2*ceil(max_disp) + 2 slices covers
+#     every point (half the pair count of a block-wide window, and the
+#     gather input needs no broadcast);
+#   - windows are STATIC: the volume is pre-padded by max_disp so block
+#     (iz, iy) reads rows [iz*bz, ·) / [iy*by, ·) — no scalar prefetch, no
+#     block-minimum pre-pass. Slab DMAs double-buffer across the
+#     sequential grid.
+#
+# Contract (differs from v1): exact iff per-axis |floor(clip(loc)) - grid|
+# <= max_disp for z and y (x is unconstrained — full-row gathers). Global
+# z/y translations are NOT absorbed (v1's dynamic window starts were);
+# `interpn_window` guards displacement and falls back to the exact gather
+# chain. Out-of-window corners contribute zero (not edge-clamped).
+# Measured numbers: docs/DESIGN.md.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
+               Sz, Sy, bz, by, W, md, q, linear):
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    nbz = pl.num_programs(1)
+    nby = pl.num_programs(2)
+    i = (b * nbz + iz) * nby + iy
+    n = pl.num_programs(0) * nbz * nby
+    slot = jax.lax.rem(i, 2)
+
+    def issue(j, slot):
+        jb = j // (nbz * nby)
+        jz = (j // nby) % nbz
+        jy = jax.lax.rem(j, nby)
+        dma = pltpu.make_async_copy(
+            vol_ref.at[jb, pl.ds(jz * bz, Sz), pl.ds(jy * by, Sy), :],
+            slab.at[slot], sem.at[slot])
+        dma.start()
+        return dma
+
+    @pl.when(i == 0)
+    def _():
+        issue(i, slot)
+
+    @pl.when(i + 1 < n)
+    def _():
+        issue(i + 1, 1 - slot)
+
+    # wait on this block's slab (re-constructing the copy descriptor is the
+    # documented way to wait for a DMA started in an earlier grid step)
+    pltpu.make_async_copy(
+        vol_ref.at[b, pl.ds(iz * bz, Sz), pl.ds(iy * by, Sy), :],
+        slab.at[slot], sem.at[slot]).wait()
+
+    jio = jax.lax.broadcasted_iota(jnp.int32, (by, W), 0).astype(jnp.float32)
+
+    def group(si, _):
+        clz = clz_ref[0, si]                                     # [by, W]
+        cly = cly_ref[0, si]
+        clx = clx_ref[0, si]
+        # continuous locations in window coordinates (exact f32: single
+        # subtraction of a small-integer constant)
+        czr = clz - (iz * bz - md).astype(jnp.float32)
+        cyr = cly - (iy * by - md) - jio
+        if linear:
+            xl = jnp.clip(clx.astype(jnp.int32), 0, max(W - 2, 0))
+            wx = clx - xl.astype(jnp.float32)
+            xl1 = jnp.minimum(xl + 1, W - 1)
+        else:
+            xl = clx.astype(jnp.int32)                 # pre-rounded field
+        # hat masks = the reference corner weights (nearest fields are
+        # pre-rounded, so the hat is 1 exactly at the chosen row)
+        mys = [jnp.maximum(1. - jnp.abs(cyr - k), 0.) for k in range(q)]
+        mzs = [jnp.maximum(1. - jnp.abs(czr - sz), 0.)
+               for sz in range(Sz)]
+        acc0 = jnp.zeros((by, W), jnp.float32)
+        acc1 = jnp.zeros((by, W), jnp.float32)
+        for sz in range(Sz):
+            tile = slab[slot, sz]                                # [Sy, W]
+            t0 = jnp.zeros((by, W), jnp.float32)
+            t1 = jnp.zeros((by, W), jnp.float32)
+            for k in range(q):
+                # sheared slice: sublane j holds slab row j + k — each
+                # output row gathers from its own window row, no broadcast
+                rows = tile[k:k + by]
+                t0 = t0 + mys[k] * jnp.take_along_axis(rows, xl, axis=1)
+                if linear:
+                    t1 = t1 + mys[k] * jnp.take_along_axis(rows, xl1,
+                                                           axis=1)
+            acc0 = acc0 + mzs[sz] * t0
+            if linear:
+                acc1 = acc1 + mzs[sz] * t1
+        out_ref[0, si] = (1. - wx) * acc0 + wx * acc1 if linear else acc0
+        return _
+
+    jax.lax.fori_loop(0, bz, group, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('Sz', 'Sy', 'bz', 'by', 'md',
+                                             'q', 'linear', 'interpret'))
+def _warp_p2(volp, clz, cly, clx, *, Sz, Sy, bz, by, md, q, linear,
+             interpret=False):
+    B = volp.shape[0]
+    W = volp.shape[3]
+    _, Do, Ho, _ = clz.shape
+    nbz, nby = Do // bz, Ho // by
+
+    kern = functools.partial(_kernel_v2, Sz=Sz, Sy=Sy, bz=bz, by=by, W=W,
+                             md=md, q=q, linear=linear)
+    blk = lambda b, i, j: (b, i, j, 0)                       # noqa: E731
+    fld = pl.BlockSpec((1, bz, by, W), blk)
+    grid_spec = pl.GridSpec(
+        grid=(B, nbz, nby),
+        in_specs=[fld, fld, fld, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, bz, by, W), blk),
+        scratch_shapes=[pltpu.VMEM((2, Sz, Sy, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Do, Ho, W), jnp.float32),
+        interpret=interpret,
+    )(clz, cly, clx, volp)
+
+
 def interpn_pallas(vol, loc, interp_method='linear', fill_value=None,
-                   max_disp=4.0, block=(8, 8), interpret=False):
+                   max_disp=4.0, block=(8, 8), interpret=False,
+                   version='v2'):
     """
     3-D warp on the Pallas windowed kernel. Same contract as
     `ops.warp.interpn_onehot` with an untiled x axis: exact while per-axis
-    |loc - grid| <= max_disp (dynamic windows absorb global translations);
-    C=1 volumes; W must be a multiple of 128 (callers pad or fall back).
+    |loc - grid| <= max_disp (dynamic windows absorb global z/y
+    translations); C=1 volumes; W must be a multiple of 128 (callers pad or
+    fall back).
+
+    version: 'v2' (default) = the VPU select-accumulate kernel (per-point x
+        taps via within-vreg lane gathers, (z, y) taps via masked fma over
+        the window — same exactness contract as v1). 'v1' = the one-hot MXU
+        kernel.
 
     Differentiable: the custom VJP rides the exact gather chain
     (`utils.interpn`), whose value — and therefore gradient — matches the
@@ -145,7 +293,7 @@ def interpn_pallas(vol, loc, interp_method='linear', fill_value=None,
     if not has_ch:
         return _interpn_pallas_ad(vol, loc, interp_method, fill_value,
                                   float(max_disp), tuple(block),
-                                  bool(interpret))
+                                  bool(interpret), version)
     # fold channels into the batch grid dim
     vb = vol if batched else vol[None]
     lb = loc if batched else loc[None]
@@ -153,27 +301,28 @@ def interpn_pallas(vol, loc, interp_method='linear', fill_value=None,
     vf = jnp.moveaxis(vb, -1, 1).reshape((B * C,) + vb.shape[1:-1])
     lf = jnp.repeat(lb, C, axis=0)
     out = _interpn_pallas_ad(vf, lf, interp_method, fill_value,
-                             float(max_disp), tuple(block), bool(interpret))
+                             float(max_disp), tuple(block), bool(interpret),
+                             version)
     out = jnp.moveaxis(out.reshape((B, C) + out.shape[1:]), 1, -1)
     return out if batched else out[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _interpn_pallas_ad(vol, loc, interp_method, fill_value, max_disp, block,
-                       interpret):
+                       interpret, version='v2'):
     return _interpn_pallas_impl(vol, loc, interp_method, fill_value,
-                                max_disp, block, interpret)
+                                max_disp, block, interpret, version)
 
 
 def _interpn_pallas_ad_fwd(vol, loc, interp_method, fill_value, max_disp,
-                           block, interpret):
+                           block, interpret, version='v2'):
     out = _interpn_pallas_impl(vol, loc, interp_method, fill_value, max_disp,
-                               block, interpret)
+                               block, interpret, version)
     return out, (vol, loc)
 
 
 def _interpn_pallas_ad_bwd(interp_method, fill_value, max_disp, block,
-                           interpret, res, g):
+                           interpret, version, res, g):
     from neurite_tpu.utils import core
     vol, loc = res
 
@@ -191,7 +340,7 @@ _interpn_pallas_ad.defvjp(_interpn_pallas_ad_fwd, _interpn_pallas_ad_bwd)
 
 
 def _interpn_pallas_impl(vol, loc, interp_method, fill_value, max_disp,
-                         block, interpret):
+                         block, interpret, version='v2'):
     assert loc.shape[-1] == 3, 'interpn_pallas is the 3-D engine'
     vol = jnp.asarray(vol)
     batched = loc.ndim == 5
@@ -200,7 +349,6 @@ def _interpn_pallas_impl(vol, loc, interp_method, fill_value, max_disp,
         vol, loc = vol[None], loc[None]
     assert vol.ndim == 4, 'interpn_pallas takes single-channel volumes'
     B, D, H, W = vol.shape
-    assert W % 128 == 0, f'W={W} must be a lane multiple (pad or fall back)'
     assert interp_method in ('linear', 'nearest'), interp_method
     linear = interp_method == 'linear'
     out_dtype = vol.dtype
@@ -219,35 +367,63 @@ def _interpn_pallas_impl(vol, loc, interp_method, fill_value, max_disp,
 
     bz, by = block[0], block[1]
     # Mosaic block constraint: the field blocks' last two dims are (by, W),
-    # so by must be sublane-aligned on real TPUs ((4,8) measured best at
-    # 128^3: 2.50ms vs 6.74 for (8,8) — smaller K, more grid parallelism)
+    # so by must be sublane-aligned on real TPUs
     assert interpret or by % 8 == 0, \
         f'by={by} must be a multiple of 8 (Mosaic sublane tiling)'
-    pad = int(np.ceil(float(max_disp))) + 1
-    Sz, Sy = min(bz + 2 * pad, D), min(by + 2 * pad, H)
-
     Do, Ho, Wo = loc.shape[1:-1]
     assert Wo == W, 'x axis is untiled: out x extent must equal W'
     pz, py = (-Do) % bz, (-Ho) % by
-    if pz or py:
-        cfg = [(0, 0), (0, pz), (0, py), (0, 0), (0, 0)]
-        lo_i = jnp.pad(lo_i, cfg, mode='edge')
-        w = jnp.pad(w, cfg, mode='edge')
     nbz, nby = (Do + pz) // bz, (Ho + py) // by
+    # lane padding: x extents that are not a multiple of 128 are edge-padded
+    # here (inside the custom-vjp boundary — the clip above already used the
+    # true extents, and padded lanes are sliced off below). The v2 kernel's
+    # lane gathers are single-vreg only, so W > 128 routes to v1 (the
+    # `interpn_window` router makes the same choice).
+    px = (-W) % 128
+    if version == 'v2' and W + px > 128:
+        version = 'v1'
 
-    # per-block window starts: the block's own min source index (XLA
-    # pre-pass; tiny [B, nbz, nby] arrays ride the scalar-prefetch path)
-    lz = lo_i[..., 0].reshape(B, nbz, bz, nby, by, W)
-    ly = lo_i[..., 1].reshape(B, nbz, bz, nby, by, W)
-    z0 = jnp.clip(lz.min(axis=(2, 4, 5)), 0, max(D - Sz, 0))
-    y0 = jnp.clip(ly.min(axis=(2, 4, 5)), 0, max(H - Sy, 0))
-
-    out = _warp_p(vol32, lo_i[..., 0], lo_i[..., 1], lo_i[..., 2],
-                  w[..., 0], w[..., 1], w[..., 2],
-                  z0.astype(jnp.int32), y0.astype(jnp.int32),
-                  Sz=Sz, Sy=Sy, bz=bz, by=by, linear=linear,
-                  interpret=interpret)
-    out = out[:, :Do, :Ho]
+    if version == 'v2':
+        md = int(np.ceil(float(max_disp)))
+        q = 2 * md + 2
+        Sz = bz + 2 * md + 1
+        Sy = -(-(by + q - 1) // 8) * 8
+        cl2 = cl if linear else lo
+        if pz or py:
+            cl2 = jnp.pad(cl2, [(0, 0), (0, pz), (0, py), (0, 0), (0, 0)],
+                          mode='edge')
+        # static windows: block (iz, iy) reads padded rows [iz*bz, +Sz) /
+        # [iy*by, +Sy); the pad realigns so window row 0 = out - max_disp
+        zhi = max(0, (nbz - 1) * bz + Sz - (D + md))
+        yhi = max(0, (nby - 1) * by + Sy - (H + md))
+        volp = jnp.pad(vol32, ((0, 0), (md, zhi), (md, yhi), (0, px)))
+        if px:
+            cl2 = jnp.pad(cl2, [(0, 0), (0, 0), (0, 0), (0, px), (0, 0)],
+                          mode='edge')
+        out = _warp_p2(volp, cl2[..., 0], cl2[..., 1], cl2[..., 2],
+                       Sz=Sz, Sy=Sy, bz=bz, by=by, md=md, q=q,
+                       linear=linear, interpret=interpret)
+    else:
+        pad = int(np.ceil(float(max_disp))) + 1
+        Sz, Sy = min(bz + 2 * pad, D), min(by + 2 * pad, H)
+        if pz or py or px:
+            cfg = [(0, 0), (0, pz), (0, py), (0, px), (0, 0)]
+            lo_i = jnp.pad(lo_i, cfg, mode='edge')
+            w = jnp.pad(w, cfg, mode='edge')
+        if px:
+            vol32 = jnp.pad(vol32, ((0, 0), (0, 0), (0, 0), (0, px)))
+        # per-block window starts: the block's own min source index (XLA
+        # pre-pass; tiny [B, nbz, nby] arrays ride the scalar-prefetch path)
+        lz = lo_i[..., 0].reshape(B, nbz, bz, nby, by, W + px)
+        ly = lo_i[..., 1].reshape(B, nbz, bz, nby, by, W + px)
+        z0 = jnp.clip(lz.min(axis=(2, 4, 5)), 0, max(D - Sz, 0))
+        y0 = jnp.clip(ly.min(axis=(2, 4, 5)), 0, max(H - Sy, 0))
+        out = _warp_p(vol32, lo_i[..., 0], lo_i[..., 1], lo_i[..., 2],
+                      w[..., 0], w[..., 1], w[..., 2],
+                      z0.astype(jnp.int32), y0.astype(jnp.int32),
+                      Sz=Sz, Sy=Sy, bz=bz, by=by, linear=linear,
+                      interpret=interpret)
+    out = out[:, :Do, :Ho, :Wo]
 
     if fill_value is not None:
         oob = jnp.any((loc32 < 0.) | (loc32 > maxl), axis=-1)

@@ -293,6 +293,34 @@ def block_spread_ok(loc, vol_shape, interp_method='linear',
     return jnp.all(spread <= S - need)
 
 
+def disp_ok(loc, vol_shape, interp_method='linear', max_disp=4):
+    """
+    Displacement guard for the v2 Pallas kernel (`pallas_warp._kernel_v2`):
+    its z/y windows are STATIC boxes `[out - max_disp, out + max_disp + 1]`
+    (no dynamic per-block starts), so exactness needs the clipped source
+    location within that box per point: `-md <= cl - out <= md + 1` on the
+    z and y axes (x is unconstrained — full-row lane gathers).
+
+    The bound `-md <= cl - out <= md + 1` is valid for BOTH methods: for
+    nearest the sampled row round(cl) is an integer >= out - md - 0.5 and
+    <= out + md + 1.5, i.e. inside the same window. One fused pass over
+    `loc` (the reductions combine into a single max).
+
+    loc: [B, *out_spatial, 3] absolute coordinates.
+    """
+    D, H, W = vol_shape
+    md = float(max_disp)
+    Do, Ho = loc.shape[1], loc.shape[2]
+    loc = jnp.asarray(loc, jnp.float32)
+    dz = (jnp.clip(loc[..., 0], 0., D - 1.)
+          - jnp.arange(Do, dtype=jnp.float32)[:, None, None])
+    dy = (jnp.clip(loc[..., 1], 0., H - 1.)
+          - jnp.arange(Ho, dtype=jnp.float32)[None, :, None])
+    bad = jnp.maximum(jnp.maximum(-dz - md, dz - md - 1.),
+                      jnp.maximum(-dy - md, dy - md - 1.))
+    return jnp.max(bad) <= 0.
+
+
 def interpn_window(vol, loc, interp_method='linear', fill_value=None,
                    block=(8, 8, 64), window_pad=5, matmul_dtype=None,
                    engine='auto'):
@@ -327,8 +355,9 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     matmul_dtype: None = f32 (exact); 'bf16x2' trades ~1e-5 relative error
         for ~2x matmul rate (see `interpn_onehot`).
     engine: 'auto' | 'pallas' | 'xla' — fast-path implementation when the
-        spread guard passes ('pallas' requires TPU, C=1, x extent = W,
-        W % 128 == 0; 'auto' falls back to 'xla' otherwise).
+        guard passes ('pallas' requires TPU, small C, x extent = W; 'auto'
+        falls back to 'xla' otherwise). NEURITE_PALLAS_WARP=v1 restores
+        the one-hot MXU kernel (v2 = the VPU gather kernel, default).
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
@@ -343,27 +372,40 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     no_channel = vol_b.ndim == 4
     squeeze1 = vol_b.ndim == 5 and vol_b.shape[-1] == 1
     # channels fold into the kernel's batch grid dim (loc traffic scales
-    # with C) — 'auto' only picks pallas for C=1 (the measured win); wider
-    # volumes are opt-in via engine='pallas'
+    # with C) — 'auto' picks pallas for small C; wider volumes are opt-in
+    # via engine='pallas'
     small_ch = vol_b.ndim == 5 and vol_b.shape[-1] <= 8
+    auto_ch = vol_b.ndim == 5 and vol_b.shape[-1] <= 4
     W = vol_shape[2]
-    shape_ok = (W % 128 == 0 and loc_b.shape[3] == W
+    # any W is supported (the kernels lane-pad internally; W > 128 routes
+    # to the v1 matmul kernel — Mosaic lane gathers are single-vreg)
+    shape_ok = (loc_b.shape[3] == W
                 and interp_method in ('linear', 'nearest'))
     pallas_ok = (no_channel or squeeze1 or small_ch) and shape_ok
     if engine == 'auto':
         import jax as _jax
-        engine = 'pallas' if ((no_channel or squeeze1) and shape_ok
+        engine = 'pallas' if ((no_channel or squeeze1 or auto_ch) and shape_ok
                               and _jax.default_backend() == 'tpu') else 'xla'
     if engine == 'pallas':
         assert pallas_ok, ('pallas engine needs a single-/small-channel '
-                           'volume with x extent = W and W % 128 == 0')
+                           'volume with x extent = W')
         pblock = (block[0], block[1])
     else:
         pblock = None
 
-    guard_block = pblock if pblock is not None else block
-    ok = block_spread_ok(loc_b, vol_shape, interp_method=interp_method,
-                         block=guard_block, pad=window_pad)
+    import os as _os
+    pallas_version = _os.environ.get('NEURITE_PALLAS_WARP', 'v2')
+    if pallas_version == 'v2' and W + ((-W) % 128) > 128:
+        pallas_version = 'v1'   # matches interpn_pallas's internal routing
+    if pblock is not None and pallas_version == 'v2':
+        # the v2 kernel has static per-point windows: guard displacement,
+        # not block spread (docstring of `disp_ok`)
+        ok = disp_ok(loc_b, vol_shape, interp_method=interp_method,
+                     max_disp=window_pad - 1)
+    else:
+        ok = block_spread_ok(loc_b, vol_shape, interp_method=interp_method,
+                             block=(pblock if pblock is not None else block),
+                             pad=window_pad)
 
     def fast(args):
         v, l = args
@@ -372,7 +414,8 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
             out = pallas_warp.interpn_pallas(
                 v[..., 0] if squeeze1 else v, l,
                 interp_method=interp_method, fill_value=fill_value,
-                max_disp=float(window_pad) - 1., block=pblock)
+                max_disp=float(window_pad) - 1., block=pblock,
+                version=pallas_version)
             return out[..., None] if squeeze1 else out
         return interpn_onehot(v, l, interp_method=interp_method,
                               fill_value=fill_value,

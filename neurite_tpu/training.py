@@ -111,7 +111,7 @@ def make_eval_step(metric_fns):
 
 
 def fit(state, train_step, data_iter, nb_steps, rng, callbacks=(),
-        log_every=0, jit=True):
+        log_every=0, jit=True, start_step=0):
     """
     Host-side fit driver: pulls batches, invokes the (jitted) step, and runs
     callback hooks — the functional counterpart of keras `fit` + the
@@ -120,6 +120,12 @@ def fit(state, train_step, data_iter, nb_steps, rng, callbacks=(),
     Callbacks implement any of: on_train_begin(state), on_batch_end(step,
     state, metrics/logs), on_train_end(state). Hook exceptions propagate
     (NaN-check callbacks use this to halt training).
+
+    Per-step randomness is `fold_in(rng, global_step)` with global_step =
+    start_step + i, so a preempted run resumed via
+    `fit(restored_state, ..., start_step=k, rng=<same rng>)` (plus a data
+    iterator repositioned with its own `start_step`) reproduces the
+    uninterrupted run EXACTLY — tested in tests/test_multiprocess.py.
     """
     step_fn = jax.jit(train_step) if jit else train_step
 
@@ -130,7 +136,7 @@ def fit(state, train_step, data_iter, nb_steps, rng, callbacks=(),
     history = []
     t0 = time.time()
     for i in range(nb_steps):
-        rng, step_rng = jax.random.split(rng)
+        step_rng = jax.random.fold_in(rng, start_step + i)
         batch = next(data_iter)
         state, metrics = step_fn(state, batch, step_rng)
 

@@ -593,6 +593,9 @@ def test_interpn_pallas_matches_generic(method, fill):
 
 
 def test_interpn_pallas_translation_and_batch():
+    # v1 contract: dynamic window starts absorb global z/y translations
+    # (the v2 kernel's windows are static — translations route to the
+    # gather fallback via `disp_ok`, tested below)
     from neurite_tpu.ops import pallas_warp
     vol = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), jnp.float32)
     base = jnp.stack(core.volshape_to_ndgrid((16, 16, 128)), -1).astype(
@@ -601,8 +604,46 @@ def test_interpn_pallas_translation_and_batch():
     want = jnp.stack([core.interpn(vol[i], locs[i], fill_value=0.)
                       for i in range(2)])
     got = pallas_warp.interpn_pallas(vol, locs, fill_value=0., max_disp=2.0,
-                                     interpret=True)
+                                     interpret=True, version='v1')
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize('method', ['linear', 'nearest'])
+@pytest.mark.parametrize('block', [(1, 8), (2, 8), (4, 8)])
+def test_interpn_pallas_v2_parity(method, block):
+    # v2 (static sheared windows + lane-gather x taps): exact for
+    # displacement-bounded fields, batched, with fill_value
+    from neurite_tpu.ops import pallas_warp
+    vol = jnp.asarray(rng.normal(size=(2, 20, 20, 128)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((20, 20, 128)), -1).astype(
+        jnp.float32)
+    locs = base[None] + jnp.asarray(
+        rng.uniform(-3, 3, size=(2, 20, 20, 128, 3)), jnp.float32)
+    want = jnp.stack([core.interpn(vol[i], locs[i], interp_method=method,
+                                   fill_value=0.) for i in range(2)])
+    got = pallas_warp.interpn_pallas(vol, locs, interp_method=method,
+                                     fill_value=0., max_disp=3.0,
+                                     block=block, interpret=True,
+                                     version='v2')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_pallas_v2_disp_guard():
+    # the v2 displacement guard: bounded fields pass, translations and
+    # spiky fields fail (and interpn_window then takes the exact fallback)
+    from neurite_tpu.ops import warp as warp_ops
+    shape = (16, 16, 128)
+    base = jnp.stack(core.volshape_to_ndgrid(shape), -1).astype(jnp.float32)
+    ok = warp_ops.disp_ok(
+        (base + jnp.asarray(rng.uniform(-3, 3, size=shape + (3,)),
+                            jnp.float32))[None], shape, 'linear', 3)
+    assert bool(ok)
+    bad = warp_ops.disp_ok((base + jnp.asarray([7., 0., 0.]))[None],
+                           shape, 'linear', 3)
+    assert not bool(bad)
+    # out-of-bounds loc clips INTO the window: still exact -> guard passes
+    edge = base.at[..., 0].add(-2.5)  # dz in [-2.5, 0] after clip
+    assert bool(warp_ops.disp_ok(edge[None], shape, 'linear', 3))
 
 
 # ---------------------------------------------------------------------------
