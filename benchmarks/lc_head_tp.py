@@ -58,9 +58,11 @@ def main():
 
     space = 2
     mesh = parallel.create_mesh(data=8 // space, space=space)
+    # the head-style branch stores the kernel TRANSPOSED [O, k^3*Cin, V]
+    # (ops/lc_tap.py), so the voxel axis to shard is LAST
     run = parallel.make_sharded_train_step(
         step, mesh, space_axis=1, donate_state=False,
-        param_specs={"['lc']['kernel']": P('space'),
+        param_specs={"['lc']['kernel']": P(None, None, 'space'),
                      "['lc']['bias']": P('space')})
     s2, m2 = run(state, parallel.shard_batch((x, y), mesh, space_axis=1),
                  jax.random.PRNGKey(1))

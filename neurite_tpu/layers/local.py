@@ -295,8 +295,18 @@ class LocallyConnected(nn.Module):
         nb_out = int(np.prod(nb_out_sp))
         feature_dim = int(np.prod(ks)) * in_ch
 
-        kernel = self.param('kernel', self.kernel_initializer,
-                            (nb_out, feature_dim, self.filters),
+        # head-style layers (tiny Cin x Cout per voxel, stride 1) store the
+        # kernel TRANSPOSED, [O, feature_dim, V]: every tap's weights are
+        # dense full-lane rows read once per pass, where the keras layout's
+        # per-tap minor-dim slices re-read ~k^N x the kernel bytes — the
+        # dominant cost of the 447M-param head (ops/lc_tap.py; measured
+        # numbers in docs/DESIGN.md "LC head"). Checkpoint migration:
+        # ops.lc_tap.keras_to_transposed / transposed_to_keras. lecun
+        # initialization is identical (fan_in = feature_dim either way).
+        transposed = in_ch * self.filters <= 64 and all(s == 1 for s in st)
+        kshape = ((self.filters, feature_dim, nb_out) if transposed
+                  else (nb_out, feature_dim, self.filters))
+        kernel = self.param('kernel', self.kernel_initializer, kshape,
                             self.param_dtype)
         ct = self.dtype or x.dtype
         if kernel.dtype != ct:
@@ -324,22 +334,20 @@ class LocallyConnected(nn.Module):
             from neurite_tpu.ops import pallas_lc
             vol3 = x.shape[1:-1]
             xf = x.astype(ct).reshape(x.shape[0], -1, in_ch)
-            k2 = kernel[..., 0]
+            # pallas_lc takes the keras [V, K] slab (this path implies
+            # filters=1 and the transposed [1, K, V] storage)
+            k2 = jnp.transpose(kernel[0])
             ys = [pallas_lc.lc3d_pallas(xf[b], k2, vol3, ks, interpret)
                   for b in range(x.shape[0])]
             y = jnp.stack(ys, 0).astype(x.dtype)
             out_shape = list(vol3)
-        elif in_ch * self.filters <= 64 and all(s == 1 for s in st):
-            # head-style layers (tiny Cin x Cout per voxel): lane-friendly
-            # tap-sum with a custom VJP (ops/lc_tap.py). The keras weight
-            # layout keeps C on the minor dim, so XLA's own forms run
-            # [V, C]-shaped ops at C/128 lane utilization (the einsum
-            # additionally materializes the patch tensor through serial
-            # dynamic-update-slices — ~120ms of a 171ms step at 160^3);
-            # lc_tapsum keeps the lane axis spatial in fwd AND bwd
-            # (132.7 -> 39.9ms measured step; docs/DESIGN.md "LC head").
+        elif transposed:
+            # head-style layers: transposed-layout tap sum (ops/lc_tap.py) —
+            # dense full-lane kernel rows, fused strided x views, no patch
+            # tensor, plain jax.grad backward. 132.7 -> 113.2ms measured
+            # step (docs/DESIGN.md "LC head").
             from neurite_tpu.ops import lc_tap
-            y = lc_tap.lc_tapsum(x.astype(ct), kernel, ks, padding)
+            y = lc_tap.lc_transposed(x.astype(ct), kernel, ks, padding)
             y = y.astype(x.dtype)
             out_shape = _lc_out_shape(x.shape[1:-1], ks, st, padding)
             y = y.reshape(y.shape[0], nb_out, self.filters)

@@ -198,7 +198,9 @@ class TestLocallyConnected:
         v = layer.init(K0, x)
         y = np.asarray(layer.apply(v, x))
 
-        kernel = np.asarray(v['params']['kernel'])
+        # the head-style branch (small Cin*Cout, stride 1) stores the kernel
+        # transposed [O, K*C, V]; the numpy oracle speaks keras layout
+        kernel = np.asarray(v['params']['kernel']).transpose(2, 1, 0)
         bias = np.asarray(v['params']['bias'])
         ks = (3,) * rank
         st = (1,) * rank
@@ -214,7 +216,9 @@ class TestLocallyConnected:
         layer = L.LocallyConnected3D(filters=5, kernel_size=3)
         v = layer.init(K0, x)
         out_vox = 4 * 4 * 4
-        assert v['params']['kernel'].shape == (out_vox, 27 * 2, 5)
+        # same parameter COUNT as the reference formula; the head-style
+        # branch stores [O, K*C, V] (transposed — ops/lc_tap.py)
+        assert v['params']['kernel'].shape == (5, 27 * 2, out_vox)
         assert v['params']['bias'].shape == (4, 4, 4, 5)
 
     def test_strides(self):
@@ -231,18 +235,39 @@ class TestLocallyConnected:
         y = layer.apply(v, x)
         assert y.shape == (1, 8, 8, 2)
 
+    def test_layout_converters_round_trip(self):
+        """keras_to_transposed / transposed_to_keras are inverse bijections
+        and map reference-layout weights onto the layer's storage."""
+        from neurite_tpu.ops import lc_tap
+        rng = np.random.default_rng(7)
+        keras_k = jnp.asarray(rng.normal(size=(4 ** 3, 27 * 2, 3)),
+                              jnp.float32)
+        t = lc_tap.keras_to_transposed(keras_k)
+        assert t.shape == (3, 27 * 2, 4 ** 3)
+        np.testing.assert_array_equal(np.asarray(
+            lc_tap.transposed_to_keras(t)), np.asarray(keras_k))
+
+        # imported weights behave identically to the numpy keras oracle
+        x = jnp.asarray(rng.normal(size=(1, 6, 6, 6, 2)).astype(np.float32))
+        layer = L.LocallyConnected3D(filters=3, kernel_size=3,
+                                     use_bias=False)
+        y = np.asarray(layer.apply({'params': {'kernel': t}}, x))
+        want = np_locally_connected(np.asarray(x), np.asarray(keras_k),
+                                    None, (3, 3, 3), (1, 1, 1), 3)
+        np.testing.assert_allclose(y, want, rtol=2e-4, atol=2e-5)
+
     def test_matches_shared_conv_when_weights_tied(self):
         """If all positions share the same weights, LC == regular conv."""
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float32))
         layer = L.LocallyConnected2D(filters=3, kernel_size=3, use_bias=False)
         v = layer.init(K0, x)
-        k = np.asarray(v['params']['kernel'])
-        k_tied = np.broadcast_to(k[:1], k.shape)
+        k = np.asarray(v['params']['kernel'])       # transposed [O, K*C, V]
+        k_tied = np.broadcast_to(k[..., :1], k.shape)
         v = {'params': {'kernel': jnp.asarray(k_tied)}}
         y = np.asarray(layer.apply(v, x))
         # oracle: correlate with the single kernel reshaped [3,3,2,3]
-        kmat = k_tied[0].reshape(3, 3, 2, 3)
+        kmat = k_tied[:, :, 0].T.reshape(3, 3, 2, 3)
         want = jax.lax.conv_general_dilated(
             x, jnp.asarray(kmat), (1, 1), 'VALID',
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))

@@ -212,9 +212,11 @@ def test_cov_stream_axis_name_matches_global_batch():
 
 def test_lc_head_tensor_parallel_weights():
     """TP/weight-parallel axis (SURVEY §2.10): the LocallyConnected3D head's
-    [V, k^3*Cin, Cout] kernel is per-voxel, so sharding V over 'space'
-    alongside the input's spatial sharding needs NO collectives for the
-    layer itself — per-device weight memory drops by the space factor.
+    kernel is per-voxel, so sharding the voxel axis over 'space' alongside
+    the input's spatial sharding needs NO collectives for the layer itself —
+    per-device weight memory drops by the space factor. The head-style
+    (small Cin*Cout, stride 1) branch stores the kernel TRANSPOSED,
+    [O, k^3*Cin, V] (ops/lc_tap.py), so the voxel axis is LAST.
     Parity vs the unsharded step, and shard shapes verified."""
     from jax.sharding import PartitionSpec as P
     from neurite_tpu import parallel, training
@@ -245,7 +247,7 @@ def test_lc_head_tensor_parallel_weights():
     s1, m1 = jax.jit(step)(state, (x, y), jax.random.PRNGKey(1))
 
     mesh = parallel.create_mesh(data=4, space=2)
-    specs = {"['kernel']": P('space'), "['bias']": P('space')}
+    specs = {"['kernel']": P(None, None, 'space'), "['bias']": P('space')}
     run = parallel.make_sharded_train_step(step, mesh, space_axis=1,
                                            donate_state=False,
                                            param_specs=specs)
@@ -256,11 +258,11 @@ def test_lc_head_tensor_parallel_weights():
     np.testing.assert_allclose(np.asarray(s2.params['lc_head']['kernel']),
                                np.asarray(s1.params['lc_head']['kernel']),
                                rtol=2e-4, atol=2e-6)
-    # the kernel must actually live sharded: V/2 rows per device
+    # the kernel must actually live sharded: V/2 voxel columns per device
     k = s2.params['lc_head']['kernel']
     V = size ** 3
-    shard_rows = {s.data.shape[0] for s in k.addressable_shards}
-    assert shard_rows == {V // 2}, shard_rows
+    shard_cols = {s.data.shape[-1] for s in k.addressable_shards}
+    assert shard_cols == {V // 2}, shard_cols
     # and its adam moments shard identically
     mu = s2.opt_state[0].mu['lc_head']['kernel']
-    assert {s.data.shape[0] for s in mu.addressable_shards} == {V // 2}
+    assert {s.data.shape[-1] for s in mu.addressable_shards} == {V // 2}
