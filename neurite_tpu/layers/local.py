@@ -314,33 +314,30 @@ class LocallyConnected(nn.Module):
 
         lc_flag = os.environ.get('NEURITE_PALLAS_LC', '0')
         interpret = lc_flag == 'interpret'  # CPU-testable wiring path
-        use_pallas = ndims == 3 and (
+        use_pallas = ndims == 3 and transposed and (
             interpret or (lc_flag == '1'
                           and jax.default_backend() in ('tpu', 'axon')))
         if use_pallas:
-            from neurite_tpu.ops import pallas_lc
-            use_pallas = pallas_lc.supported(x.shape, ks, self.filters, st,
-                                             padding)
+            from neurite_tpu.ops import pallas_lc2
+            use_pallas = pallas_lc2.supported(x.shape, ks, self.filters, st,
+                                              padding)
         if use_pallas:
-            # opt-in Pallas DMA kernel (ops/pallas_lc.py): per-block tap DMAs
-            # into a VMEM patch scratch + one VPU multiply-reduce; never
-            # materializes the [V, k^N*C] patch tensor in HBM. Gated behind
-            # NEURITE_PALLAS_LC=1 until the in-context step time is measured
+            # opt-in Pallas v2 kernel (ops/pallas_lc2.py): transposed-layout
+            # blocks with one double-buffered halo DMA each — the pattern
+            # this pool's remote Mosaic compiler accepts (the v1 multi-DMA
+            # kernel in ops/pallas_lc.py does not; see
+            # benchmarks/pallas_lc_probe.py). Gated behind NEURITE_PALLAS_LC=1
             # (Mosaic custom calls have degraded neighboring XLA programs
             # before — docs/DESIGN.md "custom-call blast radius").
             # SINGLE-CHIP ONLY: GSPMD cannot partition the custom call, so
             # keep this off when sharding the head with param_specs
             # (tensor-parallel) or spatial sharding.
-            from neurite_tpu.ops import pallas_lc
-            vol3 = x.shape[1:-1]
-            xf = x.astype(ct).reshape(x.shape[0], -1, in_ch)
-            # pallas_lc takes the keras [V, K] slab (this path implies
-            # filters=1 and the transposed [1, K, V] storage)
-            k2 = jnp.transpose(kernel[0])
-            ys = [pallas_lc.lc3d_pallas(xf[b], k2, vol3, ks, interpret)
-                  for b in range(x.shape[0])]
-            y = jnp.stack(ys, 0).astype(x.dtype)
-            out_shape = list(vol3)
+            from neurite_tpu.ops import pallas_lc2
+            y = pallas_lc2.lc_transposed_pallas(x.astype(ct), kernel, ks,
+                                                interpret)
+            y = y.astype(x.dtype)
+            out_shape = list(x.shape[1:-1])
+            y = y.reshape(y.shape[0], nb_out, self.filters)
         elif transposed:
             # head-style layers: transposed-layout tap sum (ops/lc_tap.py) —
             # dense full-lane kernel rows, fused strided x views, no patch

@@ -868,3 +868,96 @@ def test_interpn_pallas_channels_gradient():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gg[1]),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pallas locally-connected kernel v2 (ops/pallas_lc2.py) — interpret mode.
+# v2 takes the TRANSPOSED kernel storage [1, prod(k)*C, V] (ops/lc_tap.py)
+# and single-halo-DMA blocks (the multi-DMA v1 kernel cannot compile on the
+# remote Mosaic pool — benchmarks/pallas_lc_probe.py).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('shape3,C,ks', [
+    ((6, 8, 8), 3, (3, 3, 3)),
+    ((4, 8, 16), 1, (3, 3, 3)),
+    ((8, 6, 8), 2, (3, 1, 3)),
+    ((5, 5, 7), 2, (3, 3, 3)),
+])
+def test_lc_pallas2_matches_jnp_transposed(shape3, C, ks):
+    from neurite_tpu.ops import lc_tap, pallas_lc2
+    D, H, W = shape3
+    V = D * H * W
+    TC = int(np.prod(ks)) * C
+    x = jnp.asarray(rng.normal(size=(2, D, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, TC, V)), jnp.float32)
+    want = lc_tap.lc_transposed(x, k, ks, 'same')
+    got = pallas_lc2.lc_transposed_pallas(x, k, ks, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_lc_pallas2_gradients_match_jnp():
+    from neurite_tpu.ops import lc_tap, pallas_lc2
+    D, H, W, C = 6, 8, 8, 3
+    ks = (3, 3, 3)
+    V, TC = D * H * W, 27 * C
+    x = jnp.asarray(rng.normal(size=(1, D, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, TC, V)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(1, D, H, W, 1)), jnp.float32)
+
+    def loss_ref(x, k):
+        return jnp.sum(lc_tap.lc_transposed(x, k, ks, 'same') * g)
+
+    def loss_pal(x, k):
+        return jnp.sum(pallas_lc2.lc_transposed_pallas(x, k, ks, True) * g)
+
+    dr = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    dp = jax.grad(loss_pal, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dp[0]), np.asarray(dr[0]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp[1]), np.asarray(dr[1]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_lc_pallas2_bf16_kernel_dk_dtype():
+    # bf16 params: dk must come back bf16 (written natively by the dk
+    # kernel) and match the f32 reference to bf16 rounding
+    from neurite_tpu.ops import lc_tap, pallas_lc2
+    D, H, W, C = 4, 8, 8, 2
+    ks = (3, 3, 3)
+    V, TC = D * H * W, 27 * C
+    x = jnp.asarray(rng.normal(size=(1, D, H, W, C)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(1, TC, V)), jnp.float32)
+    kb = kf.astype(jnp.bfloat16)
+
+    def loss_pal(k):
+        return jnp.sum(pallas_lc2.lc_transposed_pallas(x, k, ks, True) ** 2)
+
+    dkb = jax.grad(loss_pal)(kb)
+    assert dkb.dtype == jnp.bfloat16
+
+    def loss_ref(k):
+        return jnp.sum(lc_tap.lc_transposed(x, k, ks, 'same') ** 2)
+
+    dkf = jax.grad(loss_ref)(kb.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(dkb, np.float32), np.asarray(dkf),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_lc_pallas2_supported_gate():
+    from neurite_tpu.ops import pallas_lc2
+    ok = pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 1, (1, 1, 1),
+                              'same')
+    assert ok
+    # rejects: multi-filter, even kernel, valid padding, wide channels,
+    # strides
+    assert not pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 2,
+                                    (1, 1, 1), 'same')
+    assert not pallas_lc2.supported((1, 8, 8, 8, 3), (2, 3, 3), 1,
+                                    (1, 1, 1), 'same')
+    assert not pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 1,
+                                    (1, 1, 1), 'valid')
+    assert not pallas_lc2.supported((1, 8, 8, 8, 32), (3, 3, 3), 1,
+                                    (1, 1, 1), 'same')
+    assert not pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 1,
+                                    (2, 1, 1), 'same')
