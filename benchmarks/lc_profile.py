@@ -1,0 +1,137 @@
+"""Decompose the config-#3 96.4ms step (VERDICT r4 item 2b).
+
+Components measured separately at the head shape (160^3, trunk 8f/3lvl,
+447M-param bf16 LC head), each with a two-point fit over dependency-chained
+calls (args perturbed per call — the tunneled runtime dedups identical
+executions):
+  trunk    : UNet trunk train step alone (no LC head)
+  lc_fwd   : LC layer forward alone (Pallas v2 when NEURITE_PALLAS_LC=1)
+  lc_grad  : LC layer fwd+bwd (dk + dx)
+  adam     : adam update on the 447M-param pytree alone
+  full     : the whole train step (the 96.4ms number)
+Run twice: NEURITE_PALLAS_LC=0 and =1.
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import flax.linen as nn  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+import neurite_tpu as ne  # noqa: E402
+from neurite_tpu import training  # noqa: E402
+
+size = 160
+pdt = jnp.bfloat16
+
+
+def timeit(fn, n1=3, n2=13):
+    """fn(i, t) -> pytree; t is a f32 scalar chaining the calls."""
+    t = jnp.zeros(())
+    jax.block_until_ready(fn(0, t))
+    outs = []
+    for n in (n1, n2):
+        t = jnp.zeros(())
+        t0 = time.time()
+        for i in range(n):
+            r = fn(i, t)
+            t = 0. * jnp.asarray(
+                jax.tree.leaves(r)[0], jnp.float32).ravel()[0]
+        jax.block_until_ready(t)
+        outs.append(time.time() - t0)
+    return 1e3 * (outs[1] - outs[0]) / (n2 - n1)
+
+
+def report(name, ms):
+    print(f'{name:10s}: {ms:7.2f} ms', flush=True)
+
+
+class EncDecLC(nn.Module):
+    with_lc: bool = True
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        u = ne.models.unet(nb_features=8, input_shape=(size,) * 3 + (1,),
+                           nb_levels=3, conv_size=3, nb_labels=4,
+                           feat_mult=2, final_pred_activation='linear',
+                           dtype=jnp.bfloat16, conv_impl='auto', name='trunk')
+        y = u(x, training=training)
+        if self.with_lc:
+            y = ne.layers.LocallyConnected3D(
+                filters=1, kernel_size=3, padding='same', param_dtype=pdt,
+                name='lc')(y)
+        return y
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, size, size, size, 1)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(1, size, size, size, 1)), jnp.float32)
+    mse = lambda yt, yp: jnp.mean((yt - yp.astype(jnp.float32)) ** 2)  # noqa
+
+    print(f"NEURITE_PALLAS_LC={os.environ.get('NEURITE_PALLAS_LC', '0')}",
+          flush=True)
+    which = sys.argv[1:] or ['trunk', 'lc_fwd', 'lc_grad', 'adam', 'full']
+
+    if 'trunk' in which:
+        trunk = EncDecLC(with_lc=False)
+        st = training.create_train_state(trunk, jax.random.PRNGKey(0), x,
+                                         optax.adam(1e-4))
+        stp = jax.jit(training.make_train_step(mse))
+
+        def run_trunk(i, t):
+            _, m = stp(st, (x + t, y), jax.random.PRNGKey(i))
+            return m['loss']
+        report('trunk', timeit(run_trunk))
+
+    # LC layer alone at the head input shape (4 channels from the trunk)
+    xl = jnp.asarray(rng.normal(size=(1, size, size, size, 4)), jnp.bfloat16)
+    lc = ne.layers.LocallyConnected3D(filters=1, kernel_size=3,
+                                      padding='same', param_dtype=pdt)
+    v = lc.init(jax.random.PRNGKey(0), xl)
+
+    if 'lc_fwd' in which:
+        fwd = jax.jit(lambda v, xx: lc.apply(v, xx))
+        report('lc_fwd', timeit(
+            lambda i, t: fwd(v, xl + t.astype(xl.dtype))))
+
+    if 'lc_grad' in which:
+        def loss(v, xx):
+            return jnp.mean(lc.apply(v, xx).astype(jnp.float32) ** 2)
+        gr = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        report('lc_grad', timeit(
+            lambda i, t: gr(v, xl + t.astype(xl.dtype))))
+
+    if 'adam' in which:
+        tx = optax.adam(1e-4)
+        opt0 = tx.init(v['params'])
+        g = jax.tree.map(jnp.ones_like, v['params'])
+
+        @jax.jit
+        def upd(t):
+            gg = jax.tree.map(lambda a: a + t.astype(a.dtype), g)
+            u, o = tx.update(gg, opt0, v['params'])
+            return optax.apply_updates(v['params'], u)
+        report('adam', timeit(lambda i, t: upd(t)))
+
+    if 'full' in which:
+        model = EncDecLC()
+        st = training.create_train_state(model, jax.random.PRNGKey(0), x,
+                                         optax.adam(1e-4))
+        stp = jax.jit(training.make_train_step(mse))
+
+        def run_full(i, t):
+            _, m = stp(st, (x + t, y), jax.random.PRNGKey(i))
+            return m['loss']
+        report('full', timeit(run_full))
+
+
+if __name__ == '__main__':
+    main()

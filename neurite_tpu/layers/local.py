@@ -255,6 +255,19 @@ class LocallyConnected(nn.Module):
     parity and ignored — on TPU the patches+batched-matmul form IS the fast
     path (the reference's impl-2 "dense matmul" insight, without the
     connectivity-mask blowup).
+
+    kernel_layout selects the parameter storage: 'keras' = [V, prod(k)*Cin,
+    filters] (reference layout); 'transposed' = [filters, prod(k)*Cin, V]
+    (lane-dense tap rows — the head fast path, docs/DESIGN.md "LC head");
+    'auto' (default) picks 'transposed' for head-style stride-1 layers with
+    Cin*filters <= 64. NOTE under 'auto' the stored SHAPE depends on the
+    input's channel count — resizing channels across the boundary
+    shape-breaks checkpoints (migrate with `ops.lc_tap.keras_to_transposed`
+    / `transposed_to_keras`), and fan-out-sensitive initializers (glorot)
+    see fan_out = V instead of filters in the transposed layout (lecun /
+    fan-in initializers are identical: fan_in = prod(k)*Cin either way).
+    Pin `kernel_layout` explicitly when either caveat matters
+    (docs/MIGRATION.md "LocallyConnected kernel layout").
     """
     filters: int
     kernel_size: Union[int, Sequence[int]]
@@ -266,6 +279,7 @@ class LocallyConnected(nn.Module):
     kernel_initializer: Any = nn.initializers.lecun_normal()
     bias_initializer: Any = nn.initializers.zeros_init()
     implementation: int = 2  # ignored; API parity
+    kernel_layout: str = 'auto'  # 'auto' | 'transposed' | 'keras'
     # param_dtype=bf16 halves the HBM traffic of the [V, k^N*Cin, Cout]
     # weight tensor — the layer is bandwidth-bound at head scale (450M
     # params at 160^3) — at a documented precision cost; accumulation
@@ -303,7 +317,15 @@ class LocallyConnected(nn.Module):
         # numbers in docs/DESIGN.md "LC head"). Checkpoint migration:
         # ops.lc_tap.keras_to_transposed / transposed_to_keras. lecun
         # initialization is identical (fan_in = feature_dim either way).
-        transposed = in_ch * self.filters <= 64 and all(s == 1 for s in st)
+        assert self.kernel_layout in ('auto', 'transposed', 'keras'), \
+            f'bad kernel_layout {self.kernel_layout}'
+        if self.kernel_layout == 'auto':
+            transposed = in_ch * self.filters <= 64 \
+                and all(s == 1 for s in st)
+        else:
+            transposed = self.kernel_layout == 'transposed'
+            assert not transposed or all(s == 1 for s in st), \
+                "kernel_layout='transposed' supports stride 1 only"
         kshape = ((self.filters, feature_dim, nb_out) if transposed
                   else (nb_out, feature_dim, self.filters))
         kernel = self.param('kernel', self.kernel_initializer, kshape,
@@ -314,9 +336,9 @@ class LocallyConnected(nn.Module):
 
         lc_flag = os.environ.get('NEURITE_PALLAS_LC', '0')
         interpret = lc_flag == 'interpret'  # CPU-testable wiring path
+        from neurite_tpu import backend
         use_pallas = ndims == 3 and transposed and (
-            interpret or (lc_flag == '1'
-                          and jax.default_backend() in ('tpu', 'axon')))
+            interpret or (lc_flag == '1' and backend.is_tpu()))
         if use_pallas:
             from neurite_tpu.ops import pallas_lc2
             use_pallas = pallas_lc2.supported(x.shape, ks, self.filters, st,

@@ -253,10 +253,10 @@ def separable_blur3d(x, kernels, impl='auto', interpret=False):
     x = jnp.asarray(x)
     kz, ky, kx = [jnp.asarray(k, x.dtype).reshape(-1) for k in kernels]
     if impl == 'auto':
+        from neurite_tpu import backend
         ok = (supported(x.shape, [k.shape[-1] for k in (kz, ky, kx)],
                         x.dtype) and profitable(x.shape))
-        impl = 'pallas' if (ok and (interpret or
-                                    jax.default_backend() == 'tpu')) \
+        impl = 'pallas' if (ok and (interpret or backend.is_tpu())) \
             else 'jnp'
     if impl == 'pallas':
         return _blur3d_ad(x, kz, ky, kx, interpret)

@@ -77,19 +77,20 @@ def lc_transposed(x, kernel, kernel_size, padding):
         xcm = jnp.pad(xcm, ((0, 0), (0, 0)) + tuple(_pads(kernel_size)))
     k3 = kernel.reshape(O, kernel.shape[1], *out_sp)
 
-    outs = []
-    for o in range(O):
-        y = None
-        for t, offs in enumerate(_taps(kernel_size)):
-            sl = tuple(slice(offs[d], offs[d] + out_sp[d])
-                       for d in range(ndims))
-            xt = xcm[(slice(None), slice(None), *sl)]  # [B, C, *out]
-            for c in range(C):
-                term = (k3[o, t * C + c].astype(jnp.float32)[None]
-                        * xt[:, c].astype(jnp.float32))
-                y = term if y is None else y + term
-        outs.append(y)
-    return jnp.stack(outs, axis=-1)                   # [B, *out, O]
+    # one broadcast multiply-reduce per TAP (trace size O(prod(k)), not
+    # O(prod(k)*C*O) — the unrolled per-channel form inflated HLO ~1700
+    # terms at the routing boundary C*O=64, k=3^3); XLA fuses the [B, O, C,
+    # *out] product into the reduction, so nothing materializes.
+    y = None
+    for t, offs in enumerate(_taps(kernel_size)):
+        sl = tuple(slice(offs[d], offs[d] + out_sp[d])
+                   for d in range(ndims))
+        xt = xcm[(slice(None), slice(None), *sl)]     # [B, C, *out]
+        kt = k3[:, t * C:(t + 1) * C]                 # [O, C, *out]
+        term = jnp.sum(kt[None].astype(jnp.float32)
+                       * xt[:, None].astype(jnp.float32), axis=2)
+        y = term if y is None else y + term           # [B, O, *out]
+    return jnp.moveaxis(y, 1, -1)                     # [B, *out, O]
 
 
 def keras_to_transposed(kernel):

@@ -196,7 +196,8 @@ def mi_histograms(x, y, bin_centers, alpha, min_clip=-np.inf,
         jnp.asarray(bin_centers_y, jnp.float32)
     alpha = jnp.asarray(alpha, jnp.float32)
     if impl == 'auto':
-        impl = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+        from neurite_tpu import backend
+        impl = 'pallas' if backend.is_tpu() else 'jnp'
     if impl == 'pallas':
         return _mi_histograms_ad(x, y, cbx, cby, alpha,
                                  float(min_clip), float(max_clip), interpret)

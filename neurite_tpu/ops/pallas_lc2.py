@@ -274,9 +274,15 @@ def _bwd_rule(kernel_size, interpret, res, g):
     ks = tuple(kernel_size)
     g1 = g[..., 0].astype(jnp.float32)                    # [B, D, H, W]
     # dk: kernel-shaped (the bandwidth-dominant cotangent) on the Pallas
-    # kernel, produced natively in the transposed layout; batch sums.
-    dks = [_pallas_dk(g1[b], x[b], ks, kernel.dtype, interpret)
-           for b in range(x.shape[0])]
+    # kernel, produced natively in the transposed layout. At B=1 the kernel
+    # writes dk at param dtype directly (halves the write traffic of the
+    # dominant cotangent for bf16 params, no accumulation happens); at B>1
+    # per-sample dk comes out f32 so the batch sum accumulates at full
+    # precision before the single cast to param dtype.
+    B = x.shape[0]
+    dk_dtype = kernel.dtype if B == 1 else jnp.float32
+    dks = [_pallas_dk(g1[b], x[b], ks, dk_dtype, interpret)
+           for b in range(B)]
     dk = dks[0] if len(dks) == 1 else functools.reduce(jnp.add, dks)
     dk = dk[None].astype(kernel.dtype)
     # dx: x-sized (tiny next to dk) — XLA pad+add tap folds via the

@@ -153,6 +153,25 @@ def _warp_p(vol, loz, loy, lox, wz, wy, wx, z0, y0, *, Sz, Sy, bz, by,
 # ---------------------------------------------------------------------------
 
 
+def _gather_lanes(rows, idx, W):
+    """Per-lane gather `out[j, w] = rows[j, idx[j, w]]` for lane extents
+    beyond one vreg: Mosaic's `tpu.dynamic_gather` shuffles within a SINGLE
+    128-lane source vreg, so W > 128 splits the source into 128-lane
+    panels, gathers each (same index vector, clipped into the panel), and
+    selects by index panel — (W/128)^2 hardware gathers total, linear
+    per-point cost in W/128."""
+    if W <= 128:
+        return jnp.take_along_axis(rows, idx, axis=1)
+    out = 0.
+    for v in range(W // 128):
+        panel = rows[:, v * 128:(v + 1) * 128]
+        rel = jnp.clip(idx - v * 128, 0, 127)
+        g = jnp.take_along_axis(panel, rel, axis=1)
+        sel = (idx >= v * 128) & (idx < (v + 1) * 128)
+        out = jnp.where(sel, g, out)
+    return out
+
+
 def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
                Sz, Sy, bz, by, W, md, q, linear):
     b = pl.program_id(0)
@@ -219,10 +238,9 @@ def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
                 # sheared slice: sublane j holds slab row j + k — each
                 # output row gathers from its own window row, no broadcast
                 rows = tile[k:k + by]
-                t0 = t0 + mys[k] * jnp.take_along_axis(rows, xl, axis=1)
+                t0 = t0 + mys[k] * _gather_lanes(rows, xl, W)
                 if linear:
-                    t1 = t1 + mys[k] * jnp.take_along_axis(rows, xl1,
-                                                           axis=1)
+                    t1 = t1 + mys[k] * _gather_lanes(rows, xl1, W)
             acc0 = acc0 + mzs[sz] * t0
             if linear:
                 acc1 = acc1 + mzs[sz] * t1
@@ -376,11 +394,12 @@ def _interpn_pallas_impl(vol, loc, interp_method, fill_value, max_disp,
     nbz, nby = (Do + pz) // bz, (Ho + py) // by
     # lane padding: x extents that are not a multiple of 128 are edge-padded
     # here (inside the custom-vjp boundary — the clip above already used the
-    # true extents, and padded lanes are sliced off below). The v2 kernel's
-    # lane gathers are single-vreg only, so W > 128 routes to v1 (the
+    # true extents, and padded lanes are sliced off below). W > 128 rides
+    # panel-split lane gathers (`_gather_lanes`, cost linear in W/128);
+    # beyond 512 the quadratic gather count loses to v1 (the
     # `interpn_window` router makes the same choice).
     px = (-W) % 128
-    if version == 'v2' and W + px > 128:
+    if version == 'v2' and W + px > 512:
         version = 'v1'
 
     if version == 'v2':

@@ -323,7 +323,7 @@ def disp_ok(loc, vol_shape, interp_method='linear', max_disp=4):
 
 def interpn_window(vol, loc, interp_method='linear', fill_value=None,
                    block=(8, 8, 64), window_pad=5, matmul_dtype=None,
-                   engine='auto'):
+                   engine='auto', guard='runtime'):
     """
     UNBOUNDED-exact general warp: the block-windowed one-hot MXU engine
     (`interpn_onehot`) guarded by a runtime spread check, falling back to the
@@ -340,11 +340,13 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     amplitude > ~window_pad do not, and take the exact fallback.
 
     Engines (measured at 128^3 C=1 on v5e; careful k-chain timing, see
-    docs/DESIGN.md): the Pallas windowed kernel (`ops.pallas_warp`, block
-    (4, 8)) measures 7.2ms = 0.29 Gvox/s — ~19x the reference gather chain
-    and ~1.5x the XLA one-hot engine — and is the 'auto' pick on TPU for
-    single-channel, lane-aligned volumes; the XLA engine ((8, 8, 64) +
-    pad-5 window, ~0.18 Gvox/s) covers everything else.
+    docs/DESIGN.md): the Pallas windowed kernel v2 (`ops.pallas_warp`,
+    VPU lane gathers + sheared HAT-mask windows) measures 0.81ms = 2.6
+    Gvox/s linear / 4.4 nearest kernel-only (1.7 Gvox/s through this
+    guarded production path) — ~115x the reference gather chain — and is
+    the 'auto' pick on TPU for small-channel volumes; the XLA one-hot
+    engine ((8, 8, 64) + pad-5 window, ~0.18 Gvox/s) covers everything
+    else.
     Caveat for embedding: a Mosaic custom call inside the big SYNTHESIS
     program degrades that whole program's schedule (docs/DESIGN.md
     "custom-call blast radius") — the synth model therefore uses the XLA
@@ -358,6 +360,13 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
         guard passes ('pallas' requires TPU, small C, x extent = W; 'auto'
         falls back to 'xla' otherwise). NEURITE_PALLAS_WARP=v1 restores
         the one-hot MXU kernel (v2 = the VPU gather kernel, default).
+    guard: 'runtime' (default) = displacement/spread check + exact gather
+        fallback via `lax.cond` — unbounded-exact for arbitrary fields.
+        'none' = skip the check and take the fast path unconditionally:
+        the CALLER asserts per-axis |loc - grid| <= window_pad - 1 (as the
+        synthesis pipeline does via `warp_max_disp`); beyond-window points
+        silently clamp/zero per the engine's contract. Saves the guard
+        reduction + cond dispatch (~35% of the production path at 128^3).
     """
     if isinstance(loc, (list, tuple)):
         loc = jnp.stack(loc, -1)
@@ -377,15 +386,16 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     small_ch = vol_b.ndim == 5 and vol_b.shape[-1] <= 8
     auto_ch = vol_b.ndim == 5 and vol_b.shape[-1] <= 4
     W = vol_shape[2]
-    # any W is supported (the kernels lane-pad internally; W > 128 routes
-    # to the v1 matmul kernel — Mosaic lane gathers are single-vreg)
+    # any W is supported (the kernels lane-pad internally; 128 < W <= 512
+    # rides v2's panel-split lane gathers, beyond that the v1 matmul
+    # kernel takes over)
     shape_ok = (loc_b.shape[3] == W
                 and interp_method in ('linear', 'nearest'))
     pallas_ok = (no_channel or squeeze1 or small_ch) and shape_ok
     if engine == 'auto':
-        import jax as _jax
+        from neurite_tpu import backend
         engine = 'pallas' if ((no_channel or squeeze1 or auto_ch) and shape_ok
-                              and _jax.default_backend() == 'tpu') else 'xla'
+                              and backend.is_tpu()) else 'xla'
     if engine == 'pallas':
         assert pallas_ok, ('pallas engine needs a single-/small-channel '
                            'volume with x extent = W')
@@ -395,9 +405,12 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
 
     import os as _os
     pallas_version = _os.environ.get('NEURITE_PALLAS_WARP', 'v2')
-    if pallas_version == 'v2' and W + ((-W) % 128) > 128:
+    if pallas_version == 'v2' and W + ((-W) % 128) > 512:
         pallas_version = 'v1'   # matches interpn_pallas's internal routing
-    if pblock is not None and pallas_version == 'v2':
+    assert guard in ('runtime', 'none'), guard
+    if guard == 'none':
+        ok = None
+    elif pblock is not None and pallas_version == 'v2':
         # the v2 kernel has static per-point windows: guard displacement,
         # not block spread (docstring of `disp_ok`)
         ok = disp_ok(loc_b, vol_shape, interp_method=interp_method,
@@ -433,7 +446,10 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
         return core.interpn(v[0], l[0], interp_method=interp_method,
                             fill_value=fill_value)[None]
 
-    out = jax.lax.cond(ok, fast, slow, (vol_b, loc_b))
+    if ok is None:
+        out = fast((vol_b, loc_b))
+    else:
+        out = jax.lax.cond(ok, fast, slow, (vol_b, loc_b))
     return out if batched else out[0]
 
 

@@ -68,7 +68,7 @@ def setup_device(gpuid=None):
 ###############################################################################
 
 def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto',
-            max_disp=8.0, block=(8, 8)):
+            max_disp=8.0, block=(8, 8), guard='runtime'):
     """
     N-D gridded interpolation (linear or nearest) of `vol` at locations `loc`.
 
@@ -123,7 +123,7 @@ def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto',
         blk = block if len(block) > 2 else (block[0], block[1], 64)
         return warp_ops.interpn_window(
             vol, loc, interp_method=interp_method, fill_value=fill_value,
-            block=blk, window_pad=int(np.ceil(max_disp)) + 1)
+            block=blk, window_pad=int(np.ceil(max_disp)) + 1, guard=guard)
 
     if vol.ndim not in (nb_dims, nb_dims + 1):
         raise ValueError(
@@ -488,10 +488,11 @@ def separable_conv(x, kernels, axis=None, batched=False, padding='SAME',
         for ax, k in zip(axis, kernels):
             ks3[ax] = jnp.asarray(k, x.dtype).reshape(-1)
         xs = x.shape
+        from neurite_tpu import backend
         if (blur_ops.supported((xs[0], *shape_space),
                                [k.shape[-1] for k in ks3], x.dtype)
                 and blur_ops.profitable((xs[0], *shape_space))
-                and jax.default_backend() == 'tpu'):
+                and backend.is_tpu()):
             out = blur_ops.separable_blur3d(
                 x.reshape(xs[0], *shape_space), ks3, impl='pallas')
             out = out.reshape((*shape_bc, *shape_space))

@@ -558,3 +558,65 @@ class TestLocallyConnectedPallasWiring:
         layer = L.LocallyConnected3D(filters=1, kernel_size=3, padding='same')
         v = layer.init(K0, x)
         assert layer.apply(v, x).shape == (1, 4, 4, 4, 1)
+
+    def test_pallas_batch_grad_matches(self, monkeypatch):
+        # B>1 exercises the f32 batch accumulation of dk (ADVICE r3)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(3, 4, 8, 8, 2)).astype(np.float32))
+        layer = L.LocallyConnected3D(filters=1, kernel_size=3, padding='same')
+        v = layer.init(K0, x)
+
+        def loss(v, x):
+            return jnp.sum(layer.apply(v, x) ** 2)
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(v, x)
+        monkeypatch.setenv('NEURITE_PALLAS_LC', 'interpret')
+        pw, px = jax.grad(loss, argnums=(0, 1))(v, x)
+        np.testing.assert_allclose(np.asarray(px), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(pw), jax.tree.leaves(gw)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestLocallyConnectedKernelLayout:
+    """Explicit kernel_layout pinning (ADVICE r3: the auto heuristic's
+    shape switch must be overridable)."""
+
+    def _apply(self, layout, x, key):
+        layer = L.LocallyConnected3D(filters=1, kernel_size=3,
+                                     padding='same', kernel_layout=layout)
+        v = layer.init(key, x)
+        return layer, v
+
+    def test_layout_shapes(self):
+        x = jnp.zeros((1, 4, 6, 6, 2))
+        _, vk = self._apply('keras', x, K0)
+        _, vt = self._apply('transposed', x, K0)
+        V, TC = 4 * 6 * 6, 27 * 2
+        assert vk['params']['kernel'].shape == (V, TC, 1)
+        assert vt['params']['kernel'].shape == (1, TC, V)
+        # auto picks transposed here (Cin*filters=2 <= 64, stride 1)
+        _, va = self._apply('auto', x, K0)
+        assert va['params']['kernel'].shape == (1, TC, V)
+
+    def test_layouts_agree_after_conversion(self):
+        from neurite_tpu.ops import lc_tap
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 4, 6, 6, 2)).astype(np.float32))
+        lk, vk = self._apply('keras', x, K0)
+        want = np.asarray(lk.apply(vk, x))
+        lt, _ = self._apply('transposed', x, K0)
+        vt = {'params': {
+            'kernel': lc_tap.keras_to_transposed(vk['params']['kernel']),
+            'bias': vk['params']['bias']}}
+        got = np.asarray(lt.apply(vt, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_transposed_rejects_strides(self):
+        x = jnp.zeros((1, 4, 6, 6, 2))
+        layer = L.LocallyConnected3D(filters=1, kernel_size=3, strides=2,
+                                     padding='same',
+                                     kernel_layout='transposed')
+        with np.testing.assert_raises(AssertionError):
+            layer.init(K0, x)

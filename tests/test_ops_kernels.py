@@ -628,6 +628,48 @@ def test_interpn_pallas_v2_parity(method, block):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize('method', ['linear', 'nearest'])
+def test_interpn_pallas_v2_wide_lanes(method):
+    # W > 128 rides v2's panel-split lane gathers (r4): parity at W=160
+    from neurite_tpu.ops import pallas_warp
+    vol = jnp.asarray(rng.normal(size=(12, 12, 160)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((12, 12, 160)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-3, 3, size=(12, 12, 160, 3)),
+                             jnp.float32)
+    want = core.interpn(vol, loc, interp_method=method, fill_value=0.)
+    got = pallas_warp.interpn_pallas(vol, loc, interp_method=method,
+                                     fill_value=0., max_disp=3.0,
+                                     block=(2, 4), interpret=True,
+                                     version='v2')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interpn_window_guard_none():
+    # guard='none' skips the runtime check: bounded fields stay exact,
+    # and the lax.cond/fallback disappears from the program
+    from neurite_tpu.ops import warp as warp_ops
+    vol = jnp.asarray(rng.normal(size=(12, 10, 128)), jnp.float32)
+    base = jnp.stack(core.volshape_to_ndgrid((12, 10, 128)), -1).astype(
+        jnp.float32)
+    loc = base + jnp.asarray(rng.uniform(-2, 2, size=(12, 10, 128, 3)),
+                             jnp.float32)
+    want = core.interpn(vol, loc, fill_value=0.)
+    got = warp_ops.interpn_window(vol, loc, fill_value=0., window_pad=3,
+                                  block=(4, 4, 4), engine='xla',
+                                  guard='none')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    via = core.interpn(vol, loc, fill_value=0., impl='window', max_disp=2.0,
+                       block=(4, 4, 4), guard='none')
+    np.testing.assert_allclose(np.asarray(via), np.asarray(want), atol=1e-5)
+    # no cond branch in the lowered program when the guard is off
+    # (lax.cond lowers to a stablehlo `case`)
+    txt = jax.jit(lambda v, l: warp_ops.interpn_window(
+        v, l, fill_value=0., window_pad=3, block=(4, 4, 4), engine='xla',
+        guard='none')).lower(vol, loc).as_text()
+    assert 'case' not in txt
+
+
 def test_interpn_pallas_v2_disp_guard():
     # the v2 displacement guard: bounded fields pass, translations and
     # spiky fields fail (and interpn_window then takes the exact fallback)
