@@ -334,26 +334,33 @@ class LocallyConnected(nn.Module):
         if kernel.dtype != ct:
             kernel = kernel.astype(ct)
 
-        lc_flag = os.environ.get('NEURITE_PALLAS_LC', '0')
+        # NEURITE_PALLAS_LC: unset/'auto' = DEFAULT-ON for supported shapes
+        # on a single-chip TPU (the v2 kernel measured a win in the full
+        # config-#3 step, 113.2 -> 96.4ms, and the custom-call blast radius
+        # no longer reproduces on this runtime — docs/DESIGN.md); '1' =
+        # force (even multi-device — caller asserts no GSPMD partitioning
+        # of the layer); '0' = off; 'interpret' = CPU wiring path.
+        lc_flag = os.environ.get('NEURITE_PALLAS_LC', 'auto')
         interpret = lc_flag == 'interpret'  # CPU-testable wiring path
         from neurite_tpu import backend
-        use_pallas = ndims == 3 and transposed and (
-            interpret or (lc_flag == '1' and backend.is_tpu()))
+        if lc_flag in ('auto', ''):
+            # SINGLE-CHIP ONLY by default: GSPMD cannot partition the
+            # custom call, so multi-device processes (param_specs tensor-
+            # parallel or spatial sharding) keep the XLA path unless forced
+            want = backend.is_tpu() and len(jax.devices()) == 1
+        else:
+            want = lc_flag == '1' and backend.is_tpu()
+        use_pallas = ndims == 3 and transposed and (interpret or want)
         if use_pallas:
             from neurite_tpu.ops import pallas_lc2
             use_pallas = pallas_lc2.supported(x.shape, ks, self.filters, st,
                                               padding)
         if use_pallas:
-            # opt-in Pallas v2 kernel (ops/pallas_lc2.py): transposed-layout
+            # Pallas v2 kernel (ops/pallas_lc2.py): transposed-layout
             # blocks with one double-buffered halo DMA each — the pattern
             # this pool's remote Mosaic compiler accepts (the v1 multi-DMA
             # kernel in ops/pallas_lc.py does not; see
-            # benchmarks/pallas_lc_probe.py). Gated behind NEURITE_PALLAS_LC=1
-            # (Mosaic custom calls have degraded neighboring XLA programs
-            # before — docs/DESIGN.md "custom-call blast radius").
-            # SINGLE-CHIP ONLY: GSPMD cannot partition the custom call, so
-            # keep this off when sharding the head with param_specs
-            # (tensor-parallel) or spatial sharding.
+            # benchmarks/pallas_lc_probe.py).
             from neurite_tpu.ops import pallas_lc2
             y = pallas_lc2.lc_transposed_pallas(x.astype(ct), kernel, ks,
                                                 interpret)

@@ -209,7 +209,13 @@ def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
 
     jio = jax.lax.broadcasted_iota(jnp.int32, (by, W), 0).astype(jnp.float32)
 
-    def group(si, _):
+    # STATIC group unroll (r4): output z-plane si only reads slab z rows
+    # [si, si + 2*md + 2) — restricting the sz loop to the group's own
+    # window (instead of all Sz = bz + 2*md + 1 slices) drops the per-point
+    # gather count from Sz*q to (2*md+2)*q, and larger bz blocks now
+    # amortize slab DMA bytes without extra compute.
+    qz = 2 * md + 2
+    for si in range(bz):
         clz = clz_ref[0, si]                                     # [by, W]
         cly = cly_ref[0, si]
         clx = clx_ref[0, si]
@@ -226,11 +232,10 @@ def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
         # hat masks = the reference corner weights (nearest fields are
         # pre-rounded, so the hat is 1 exactly at the chosen row)
         mys = [jnp.maximum(1. - jnp.abs(cyr - k), 0.) for k in range(q)]
-        mzs = [jnp.maximum(1. - jnp.abs(czr - sz), 0.)
-               for sz in range(Sz)]
         acc0 = jnp.zeros((by, W), jnp.float32)
         acc1 = jnp.zeros((by, W), jnp.float32)
-        for sz in range(Sz):
+        for sz in range(si, min(si + qz, Sz)):
+            mz = jnp.maximum(1. - jnp.abs(czr - sz), 0.)
             tile = slab[slot, sz]                                # [Sy, W]
             t0 = jnp.zeros((by, W), jnp.float32)
             t1 = jnp.zeros((by, W), jnp.float32)
@@ -241,13 +246,10 @@ def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
                 t0 = t0 + mys[k] * _gather_lanes(rows, xl, W)
                 if linear:
                     t1 = t1 + mys[k] * _gather_lanes(rows, xl1, W)
-            acc0 = acc0 + mzs[sz] * t0
+            acc0 = acc0 + mz * t0
             if linear:
-                acc1 = acc1 + mzs[sz] * t1
+                acc1 = acc1 + mz * t1
         out_ref[0, si] = (1. - wx) * acc0 + wx * acc1 if linear else acc0
-        return _
-
-    jax.lax.fori_loop(0, bz, group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=('Sz', 'Sy', 'bz', 'by', 'md',

@@ -179,14 +179,40 @@ def copy_weights(src_variables, dst_variables, verbose=False):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def robust_multi_gpu(*args, **kwargs):
+def robust_multi_gpu(train_step, verbose=True, **kwargs):
     """
-    Reference `robust_multi_gpu` (`model.py:298-321`) wrapped keras
-    multi_gpu_model. Obsolete under SPMD: use `neurite_tpu.parallel`
-    (mesh + pjit shardings) — one logical model, compiler-partitioned.
+    Data-parallel train-step wrapper with graceful single-device fallback.
+
+    Reference `robust_multi_gpu` (`model.py:298-321`) wrapped a keras model
+    in `multi_gpu_model` when more than one GPU was visible and returned it
+    unchanged (with a message) otherwise. The SPMD equivalent operates on
+    the TRAIN STEP, not the model (one logical model, compiler-partitioned):
+    with >1 visible device it returns
+    `parallel.make_sharded_train_step(train_step, create_mesh(data=N))`
+    — batch sharded over a pure-data mesh, XLA inserting the gradient
+    all-reduce — and with one device it returns the step unchanged. Feed
+    the wrapped step with `parallel.shard_batch(batch, mesh)` (the mesh is
+    available as `wrapped.mesh`). kwargs pass through to
+    `make_sharded_train_step` (e.g. `param_specs`). For spatial sharding or
+    custom mesh axes, use `neurite_tpu.parallel` directly.
     """
-    raise NotImplementedError(
-        'use neurite_tpu.parallel.create_mesh + make_sharded_train_step')
+    n = len(jax.devices())
+    if n <= 1:
+        if verbose:
+            print('robust_multi_gpu: one device visible — returning the '
+                  'step unchanged')
+        try:
+            train_step.mesh = None
+        except AttributeError:  # jitted callables reject new attributes
+            pass
+        return train_step
+    from neurite_tpu import parallel
+    mesh = parallel.create_mesh(data=n, space=1)
+    if verbose:
+        print(f'robust_multi_gpu: data-parallel over {n} devices')
+    wrapped = parallel.make_sharded_train_step(train_step, mesh, **kwargs)
+    wrapped.mesh = mesh
+    return wrapped
 
 
 def diagram(model, sample_input, **kwargs):
