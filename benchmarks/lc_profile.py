@@ -1,8 +1,9 @@
 """Decompose the config-#3 96.4ms step (VERDICT r4 item 2b).
 
 Components measured separately at the head shape (160^3, trunk 8f/3lvl,
-447M-param bf16 LC head), each with a two-point fit over dependency-chained
-calls (args perturbed per call — the tunneled runtime dedups identical
+447M-param bf16 LC head), each with a device-side scan chain
+(benchmarks/_timing.py — one dispatch per measurement, min over reps;
+the i-indexed perturbation keeps the runtime from deduping identical
 executions):
   trunk    : UNet trunk train step alone (no LC head)
   lc_fwd   : LC layer forward alone (Pallas v2 when NEURITE_PALLAS_LC=1)
@@ -13,7 +14,6 @@ Run twice: NEURITE_PALLAS_LC=0 and =1.
 """
 import os
 import sys
-import time
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
@@ -27,26 +27,15 @@ import optax  # noqa: E402
 
 import neurite_tpu as ne  # noqa: E402
 from neurite_tpu import training  # noqa: E402
+from benchmarks._timing import step_chain_ms  # noqa: E402
 
-size = 160
+size = int(os.environ.get('LC_PROFILE_SIZE', '160'))
 pdt = jnp.bfloat16
 
 
-def timeit(fn, n1=3, n2=13):
-    """fn(i, t) -> pytree; t is a f32 scalar chaining the calls."""
-    t = jnp.zeros(())
-    jax.block_until_ready(fn(0, t))
-    outs = []
-    for n in (n1, n2):
-        t = jnp.zeros(())
-        t0 = time.time()
-        for i in range(n):
-            r = fn(i, t)
-            t = 0. * jnp.asarray(
-                jax.tree.leaves(r)[0], jnp.float32).ravel()[0]
-        jax.block_until_ready(t)
-        outs.append(time.time() - t0)
-    return 1e3 * (outs[1] - outs[0]) / (n2 - n1)
+def timeit(fn, n=12):
+    """fn(carry, i) -> carry (a f32 scalar chaining the steps)."""
+    return step_chain_ms(fn, jnp.zeros(()), n=n)
 
 
 def report(name, ms):
@@ -86,9 +75,10 @@ def main():
                                          optax.adam(1e-4))
         stp = jax.jit(training.make_train_step(mse))
 
-        def run_trunk(i, t):
-            _, m = stp(st, (x + t, y), jax.random.PRNGKey(i))
-            return m['loss']
+        def run_trunk(t, i):
+            _, m = stp(st, (x + t, y), jax.random.fold_in(
+                jax.random.PRNGKey(0), i))
+            return 0. * m['loss'].astype(jnp.float32)
         report('trunk', timeit(run_trunk))
 
     # LC layer alone at the head input shape (4 channels from the trunk)
@@ -100,14 +90,18 @@ def main():
     if 'lc_fwd' in which:
         fwd = jax.jit(lambda v, xx: lc.apply(v, xx))
         report('lc_fwd', timeit(
-            lambda i, t: fwd(v, xl + t.astype(xl.dtype))))
+            lambda t, i: 0. * jnp.float32(
+                fwd(v, xl + t.astype(xl.dtype)).ravel()[0])))
 
     if 'lc_grad' in which:
         def loss(v, xx):
             return jnp.mean(lc.apply(v, xx).astype(jnp.float32) ** 2)
         gr = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        report('lc_grad', timeit(
-            lambda i, t: gr(v, xl + t.astype(xl.dtype))))
+
+        def run_grad(t, i):
+            gv, gx = gr(v, xl + t.astype(xl.dtype))
+            return 0. * jnp.float32(gx.ravel()[0])
+        report('lc_grad', timeit(run_grad))
 
     if 'adam' in which:
         tx = optax.adam(1e-4)
@@ -119,7 +113,9 @@ def main():
             gg = jax.tree.map(lambda a: a + t.astype(a.dtype), g)
             u, o = tx.update(gg, opt0, v['params'])
             return optax.apply_updates(v['params'], u)
-        report('adam', timeit(lambda i, t: upd(t)))
+        report('adam', timeit(
+            lambda t, i: 0. * jnp.float32(
+                jax.tree.leaves(upd(t))[0].ravel()[0])))
 
     if 'full' in which:
         model = EncDecLC()
@@ -127,9 +123,10 @@ def main():
                                          optax.adam(1e-4))
         stp = jax.jit(training.make_train_step(mse))
 
-        def run_full(i, t):
-            _, m = stp(st, (x + t, y), jax.random.PRNGKey(i))
-            return m['loss']
+        def run_full(t, i):
+            _, m = stp(st, (x + t, y), jax.random.fold_in(
+                jax.random.PRNGKey(0), i))
+            return 0. * m['loss'].astype(jnp.float32)
         report('full', timeit(run_full))
 
 

@@ -2,7 +2,9 @@
 methods, and the new W>128 panel-gather path, k-chain timed at 128^3
 (and 160^3 for the wide-lane case).
 
-Variants (each a fori-chain two-point fit like bench.py's fit_chain):
+Variants (each timed with benchmarks._timing.chain_ms — device-side fori
+chain, min over repetitions; the earlier host-loop two-point fits measured
+tunnel dispatch jitter and produced negative slopes):
   kernel      : interpn_pallas direct (no guard, no cond)
   production  : interpn(impl='window') — runtime guard + cond (the driver
                 metric's path)
@@ -10,7 +12,6 @@ Variants (each a fori-chain two-point fit like bench.py's fit_chain):
 """
 import os
 import sys
-import time
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
@@ -22,27 +23,10 @@ import numpy as np  # noqa: E402
 
 import neurite_tpu as ne  # noqa: E402
 from neurite_tpu.ops import pallas_warp  # noqa: E402
+from benchmarks._timing import chain_ms  # noqa: E402
 
 
-def fit_chain(fn, x0, n1, n2):
-    def chain(n):
-        @jax.jit
-        def g(v):
-            return jax.lax.fori_loop(0, n, lambda i, vv: fn(vv), v)
-        return g
-    g1, g2 = chain(n1), chain(n2)
-    outs = []
-    for g in (g1, g2):
-        r = g(x0)
-        _ = np.asarray(r.ravel()[:1])
-        t0 = time.time()
-        r = g(x0)
-        _ = np.asarray(r.ravel()[:1])
-        outs.append(time.time() - t0)
-    return (outs[1] - outs[0]) / (n2 - n1)
-
-
-def bench(wv, method, variant, block, n2=65):
+def bench(wv, method, variant, block, n2=64):
     rng = np.random.default_rng(0)
     wvol = jnp.asarray(rng.normal(size=(wv, wv, wv)), jnp.float32)
     base = jnp.stack(ne.utils.volshape_to_ndgrid((wv,) * 3),
@@ -61,7 +45,7 @@ def bench(wv, method, variant, block, n2=65):
     want = np.asarray(ne.utils.interpn(wvol, loc, interp_method=method))
     got = np.asarray(fn(wvol))
     err = float(np.max(np.abs(got - want)))
-    dt = fit_chain(fn, wvol, 1, n2)
+    dt = chain_ms(fn, wvol, n=n2) / 1e3
     gv = wv ** 3 / dt / 1e9
     print(f'W={wv} {method:7s} {variant:10s} block={block}: '
           f'{1e3 * dt:6.3f} ms = {gv:5.2f} Gvox/s  (err {err:.1e})',
@@ -79,5 +63,5 @@ if __name__ == '__main__':
             bench(128, 'nearest', variant, (2, 8))
     if 'main' in which or 'wide' in which:
         for block in ((2, 8), (4, 8)):
-            bench(160, 'linear', 'kernel', block, n2=33)
-            bench(160, 'nearest', 'kernel', block, n2=33)
+            bench(160, 'linear', 'kernel', block, n2=32)
+            bench(160, 'nearest', 'kernel', block, n2=32)

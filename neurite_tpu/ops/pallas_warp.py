@@ -162,14 +162,22 @@ def _gather_lanes(rows, idx, W):
     per-point cost in W/128."""
     if W <= 128:
         return jnp.take_along_axis(rows, idx, axis=1)
-    out = 0.
-    for v in range(W // 128):
-        panel = rows[:, v * 128:(v + 1) * 128]
-        rel = jnp.clip(idx - v * 128, 0, 127)
-        g = jnp.take_along_axis(panel, rel, axis=1)
-        sel = (idx >= v * 128) & (idx < (v + 1) * 128)
-        out = jnp.where(sel, g, out)
-    return out
+    # both source AND output split into 128-lane panels: Mosaic's gather
+    # lowering requires index shape == source shape, so each (source panel,
+    # output panel) pair is one matched [sub, 128] tpu.dynamic_gather
+    P = W // 128
+    outs = []
+    for o in range(P):
+        idx_o = idx[:, o * 128:(o + 1) * 128]
+        acc = jnp.zeros(idx_o.shape, rows.dtype)
+        for v in range(P):
+            panel = rows[:, v * 128:(v + 1) * 128]
+            rel = jnp.clip(idx_o - v * 128, 0, 127)
+            g = jnp.take_along_axis(panel, rel, axis=1)
+            sel = (idx_o >= v * 128) & (idx_o < (v + 1) * 128)
+            acc = jnp.where(sel, g, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
 
 
 def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
