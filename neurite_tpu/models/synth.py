@@ -119,20 +119,25 @@ class LabelsToImage(nn.Module):
     gamma: float = 0.5
     one_hot: bool = True
     half_res: bool = False
-    # SVF integration warp engine: 'auto'/'onehot' = the block-windowed
-    # one-hot MXU engine (ops.warp.interpn_onehot) in 3-D — exact while the
-    # integrated SVF stays within `warp_max_disp` per axis (default
-    # 4*warp_max; Gaussian-tail caveat in docs/DESIGN.md), and ~2x the whole
-    # synth+train step; 'gather' = the reference-identical XLA gather chain
+    # SVF integration warp engine — exact while the integrated SVF stays
+    # within `warp_max_disp` per axis (default 4*warp_max; Gaussian-tail
+    # caveat in docs/DESIGN.md). 'window' = the Pallas v2 VPU kernel via the
+    # window engine (guard='none' — the per-step bound is rigorous) on TPU;
+    # 'onehot' = the block-windowed one-hot MXU engine
+    # (ops.warp.interpn_onehot); 'auto' picks between those per backend
+    # (measured: benchmarks/synth_impls.py); 'gather' = the
+    # reference-identical XLA gather chain
     warp_impl: str = 'auto'
     # bound on the integrated SVF per axis at its NATIVE (integration)
     # resolution — when not half_res the label warp's window is automatically
     # doubled to cover the x2 rescale to full res
     warp_max_disp: Optional[float] = None
-    # final nearest label warp: 'auto' = bf16 one-hot MXU engine whenever
-    # statically eligible (3-D, translation/flip-only affine, labels < 256;
+    # final nearest label warp: 'auto' = on TPU the Pallas v2 window kernel
+    # gathering label VALUES (exact for nearest; translation/flip-only
+    # affine with the shift bound folded into the window), else the bf16
+    # one-hot MXU engine whenever statically eligible (3-D, labels < 256;
     # measured 5.3x the gather at 128^3, exact — benchmarks/label_warp.py),
-    # else gather; 'onehot'/'gather' force one path
+    # else gather; 'window'/'onehot'/'gather' force one path
     label_warp_impl: str = 'auto'
     seeds: Any = None
     return_im: bool = True
@@ -240,18 +245,22 @@ class LabelsToImage(nn.Module):
                     keepdims=True)
             wdisp = (self.warp_max_disp if self.warp_max_disp is not None
                      else 4. * float(self.warp_max))
-            # 'auto' picks the one-hot MXU engine for 3-D: inside the fused
-            # synth+train program the gather chain serializes the schedule —
-            # onehot integration + onehot label warp measured 99.2ms/step vs
-            # 192.2ms with gather integration (docs/DESIGN.md). 'gather'
+            # 'auto' picks a block-windowed MXU/VPU engine for 3-D: inside
+            # the fused synth+train program the gather chain serializes the
+            # schedule — onehot integration + onehot label warp measured
+            # 99.2ms/step vs 192.2ms with gather integration (docs/DESIGN.md);
+            # on TPU the Pallas v2 window kernel beats onehot for the
+            # small-channel vel field (benchmarks/synth_impls.py). 'gather'
             # forces the reference-identical gather chain.
-            use_onehot = (num_dim == 3
-                          and self.warp_impl in ('auto', 'onehot'))
-            if use_onehot:
+            wimpl = self.warp_impl
+            if wimpl == 'auto' and num_dim == 3:
+                from neurite_tpu import backend
+                wimpl = 'window' if backend.is_tpu() else 'onehot'
+            if num_dim == 3 and wimpl in ('onehot', 'window'):
                 # batch folded into the engine's block scan (the engine must
                 # NOT be vmapped: see batch_transform)
                 def_field = spatial.batch_integrate_vec(
-                    vel_field, nb_steps=5, impl='onehot', max_disp=wdisp)
+                    vel_field, nb_steps=5, impl=wimpl, max_disp=wdisp)
             else:
                 def_field = jax.vmap(
                     lambda v: spatial.integrate_vec(v, nb_steps=5))(vel_field)
@@ -302,7 +311,12 @@ class LabelsToImage(nn.Module):
                 "label_warp_impl='onehot' needs 3-D labels < 256, no axis "
                 'swap/half_res, and rotation/scale/shear within 30deg/0.3 '
                 "(beyond that the source windows blow up); use 'auto'")
-        route = self.label_warp_impl in ('auto', 'onehot')
+        if self.label_warp_impl == 'window':
+            assert eligible, (
+                "label_warp_impl='window' needs 3-D labels, no axis "
+                'swap/half_res, and a translation/flip-only affine (static '
+                "windows don't absorb rotation/scale/shear); use 'auto'")
+        route = self.label_warp_impl in ('auto', 'onehot', 'window')
         # warp_max_disp bounds the integrated SVF at its NATIVE (integration)
         # resolution; when not half_res the field is rescale_dense_transform'd
         # x2 before the full-res label warp, doubling displacement magnitudes
@@ -318,9 +332,26 @@ class LabelsToImage(nn.Module):
                          if self.warp_max > 0 else 1.0))
         labels = labels.astype(compute_type)
         if eligible and route:
-            labels = spatial.batch_transform(
-                labels, trans_dense, interp_method='nearest', fill_value=0,
-                impl='onehot', max_disp=wdisp_l, matmul_dtype=jnp.bfloat16)
+            from neurite_tpu import backend
+            # the Pallas v2 window kernel gathers label VALUES directly
+            # (exact for nearest — no one-hot needed), but its windows are
+            # STATIC: a global translation is NOT absorbed (the one-hot
+            # engine's dynamic block starts do), so the drawn shift bound
+            # folds into the window size instead
+            shift_b = float(np.max(self.aff_shift))
+            use_window = (self.label_warp_impl == 'window'
+                          or (self.label_warp_impl == 'auto'
+                              and backend.is_tpu() and shift_b <= 8.))
+            if use_window:
+                labels = spatial.batch_transform(
+                    labels, trans_dense, interp_method='nearest',
+                    fill_value=0, impl='window',
+                    max_disp=wdisp_l + shift_b, guard='none')
+            else:
+                labels = spatial.batch_transform(
+                    labels, trans_dense, interp_method='nearest',
+                    fill_value=0, impl='onehot', max_disp=wdisp_l,
+                    matmul_dtype=jnp.bfloat16)
         elif shear_eligible and self.label_warp_impl == 'onehot':
             # measured a wash vs gather in the fused program (103.6 vs
             # 101.8ms, benchmarks/synth_train.py SYNTH_ROTATED=1) — the

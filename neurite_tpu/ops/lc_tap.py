@@ -35,8 +35,10 @@ Supported: any rank, stride 1, 'same'/'valid', any C/O (callers route
 small C*O here; large C*O belongs on the MXU einsum path).
 """
 
+import functools
 import itertools
 
+import jax
 import jax.numpy as jnp
 
 
@@ -58,6 +60,7 @@ def _taps(kernel_size):
     return list(itertools.product(*[range(k) for k in kernel_size]))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def lc_transposed(x, kernel, kernel_size, padding):
     """
     Locally-connected conv (stride 1) with a transposed weight layout.
@@ -66,7 +69,17 @@ def lc_transposed(x, kernel, kernel_size, padding):
     tap-major / channel-minor on the MIDDLE axis — the keras feature axis —
     with the voxel axis LAST so every tap row is lane-dense).
     Returns [B, *out_spatial, O] in float32 (callers cast).
+
+    The backward is hand-written (`lc_transposed_dx`/`lc_transposed_dk`):
+    XLA's auto-transpose of the broadcast-multiply-reduce form placed the
+    C axis on LANES (bf16[B, C, *sp] tiles padded C -> 128, a measured 32x
+    HBM expansion that OOMs the isolated grad at 160^3) — the hand forms
+    keep V trailing so every tensor stays lane-dense.
     """
+    return _lc_transposed_impl(x, kernel, kernel_size, padding)
+
+
+def _lc_transposed_impl(x, kernel, kernel_size, padding):
     ndims = len(kernel_size)
     C = x.shape[-1]
     O = kernel.shape[0]
@@ -91,6 +104,73 @@ def lc_transposed(x, kernel, kernel_size, padding):
                        * xt[:, None].astype(jnp.float32), axis=2)
         y = term if y is None else y + term           # [B, O, *out]
     return jnp.moveaxis(y, 1, -1)                     # [B, *out, O]
+
+
+def lc_transposed_dx(g, kernel, kernel_size, padding, x_shape):
+    """
+    Input cotangent of `lc_transposed`, V-major by construction.
+
+    g: [B, *out_spatial, O] (any float dtype); kernel: [O, prod(k)*C, V].
+    Returns dx [B, *spatial, C] in float32 (callers cast). Every
+    intermediate keeps the spatial axes trailing (lane-dense rows); the
+    tap scatter-adds are static-slice `.at[].add` folds.
+    """
+    ndims = len(kernel_size)
+    C = x_shape[-1]
+    O = kernel.shape[0]
+    sp = list(x_shape[1:-1])
+    out_sp = _out_shape(sp, kernel_size, padding)
+    gcm = jnp.moveaxis(g, -1, 1).astype(jnp.float32)  # [B, O, *out]
+    k3 = kernel.reshape(O, kernel.shape[1], *out_sp)
+    pads = _pads(kernel_size) if padding == 'same' else [(0, 0)] * ndims
+    pad_sp = [s + p0 + p1 for s, (p0, p1) in zip(sp, pads)]
+    B = g.shape[0]
+    dxp = jnp.zeros((B, C, *pad_sp), jnp.float32)
+    for t, offs in enumerate(_taps(kernel_size)):
+        kt = k3[:, t * C:(t + 1) * C].astype(jnp.float32)   # [O, C, *out]
+        q = jnp.sum(kt[None] * gcm[:, :, None], axis=1)     # [B, C, *out]
+        sl = tuple(slice(offs[d], offs[d] + out_sp[d]) for d in range(ndims))
+        dxp = dxp.at[(slice(None), slice(None), *sl)].add(q)
+    sl = tuple(slice(p0, p0 + s) for s, (p0, _) in zip(sp, pads))
+    return jnp.moveaxis(dxp[(slice(None), slice(None), *sl)], 1, -1)
+
+
+def lc_transposed_dk(g, x, kernel_size, padding):
+    """
+    Kernel cotangent of `lc_transposed`, produced NATIVELY in the
+    transposed layout [O, prod(k)*C, V] (V-major rows, no relayout).
+    Returns float32 (callers cast).
+    """
+    ndims = len(kernel_size)
+    C = x.shape[-1]
+    out_sp = _out_shape(x.shape[1:-1], kernel_size, padding)
+    gcm = jnp.moveaxis(g, -1, 1).astype(jnp.float32)  # [B, O, *out]
+    xcm = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # [B, C, *sp]
+    if padding == 'same':
+        xcm = jnp.pad(xcm, ((0, 0), (0, 0)) + tuple(_pads(kernel_size)))
+    rows = []
+    for t, offs in enumerate(_taps(kernel_size)):
+        sl = tuple(slice(offs[d], offs[d] + out_sp[d]) for d in range(ndims))
+        xt = xcm[(slice(None), slice(None), *sl)]     # [B, C, *out]
+        # dk_t[o, c, v] = sum_b g[b, o, v] * xt[b, c, v]
+        rows.append(jnp.sum(gcm[:, :, None] * xt[:, None], axis=0))
+    dk = jnp.concatenate(rows, axis=1)                # [O, prod(k)*C, *out]
+    return dk.reshape(dk.shape[0], dk.shape[1], -1)
+
+
+def _lc_transposed_fwd(x, kernel, kernel_size, padding):
+    return _lc_transposed_impl(x, kernel, kernel_size, padding), (x, kernel)
+
+
+def _lc_transposed_bwd(kernel_size, padding, res, g):
+    x, kernel = res
+    dx = lc_transposed_dx(g, kernel, kernel_size, padding,
+                          x.shape).astype(x.dtype)
+    dk = lc_transposed_dk(g, x, kernel_size, padding).astype(kernel.dtype)
+    return dx, dk
+
+
+lc_transposed.defvjp(_lc_transposed_fwd, _lc_transposed_bwd)
 
 
 def keras_to_transposed(kernel):

@@ -285,11 +285,11 @@ def _bwd_rule(kernel_size, interpret, res, g):
            for b in range(B)]
     dk = dks[0] if len(dks) == 1 else functools.reduce(jnp.add, dks)
     dk = dk[None].astype(kernel.dtype)
-    # dx: x-sized (tiny next to dk) — XLA pad+add tap folds via the
-    # transpose of the linear jnp form, with kernel closed over.
-    f = lambda xx: lc_tap.lc_transposed(xx, kernel, ks, 'same')  # noqa: E731
-    dx, = jax.linear_transpose(f, jax.ShapeDtypeStruct(x.shape, x.dtype))(
-        g.astype(jnp.float32))
+    # dx: x-sized (tiny next to dk) — the hand-written V-major tap folds
+    # (lc_tap.lc_transposed_dx). XLA's auto-transpose of the jnp form put
+    # the C axis on lanes (32x padded bf16 tiles, docs/DESIGN.md).
+    dx = lc_tap.lc_transposed_dx(g, kernel, ks, 'same',
+                                 x.shape).astype(x.dtype)
     return dx, dk
 
 

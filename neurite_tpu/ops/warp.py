@@ -347,11 +347,11 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     the 'auto' pick on TPU for small-channel volumes; the XLA one-hot
     engine ((8, 8, 64) + pad-5 window, ~0.18 Gvox/s) covers everything
     else.
-    Caveat for embedding: a Mosaic custom call inside the big SYNTHESIS
-    program degrades that whole program's schedule (docs/DESIGN.md
-    "custom-call blast radius") — the synth model therefore uses the XLA
-    engines directly; standalone/registration-style programs measured
-    unaffected (warp chains +11%, conv nets +1%).
+    Embedding note: the round-2/3 "custom-call blast radius" (a Mosaic
+    custom call degrading the surrounding synthesis program's schedule) no
+    longer reproduces on the current pool runtime (docs/DESIGN.md, measured
+    off/split/identity at 15.5/15.4/15.0 ms) — the synth model now routes
+    its integration and label warps through this engine on TPU.
 
     vol/loc/fill_value/interp_method: exactly as `utils.interpn` (3-D only).
     matmul_dtype: None = f32 (exact); 'bf16x2' trades ~1e-5 relative error

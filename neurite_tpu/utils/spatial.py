@@ -26,7 +26,8 @@ __all__ = [
 
 
 def transform(vol, loc_shift, interp_method='linear', fill_value=None,
-              shift_center=True, impl='auto', max_disp=8.0):
+              shift_center=True, impl='auto', max_disp=8.0,
+              guard='runtime'):
     """
     Warp a single (unbatched) volume by a dense displacement field:
     out(x) = vol(x + shift(x)).
@@ -35,7 +36,9 @@ def transform(vol, loc_shift, interp_method='linear', fill_value=None,
 
     impl='onehot' (3-D only) selects the block-windowed one-hot MXU warp —
     ~9.5x the default gather chain on v5e, exact while |shift| <= max_disp
-    per axis (`ops.warp.interpn_onehot`).
+    per axis (`ops.warp.interpn_onehot`). impl='window' selects the guarded
+    engine (Pallas v2 kernel on TPU); `guard` passes through — 'none' for
+    callers that assert the displacement bound statically.
 
     Equivalent of voxelmorph's `transform` used (but never imported) by the
     reference (`neurite/tf/layers.py:1697`).
@@ -47,7 +50,8 @@ def transform(vol, loc_shift, interp_method='linear', fill_value=None,
     grid = jnp.stack([m.astype(loc_shift.dtype) for m in mesh], -1)
     loc = grid + loc_shift
     return core.interpn(vol, loc, interp_method=interp_method,
-                        fill_value=fill_value, impl=impl, max_disp=max_disp)
+                        fill_value=fill_value, impl=impl, max_disp=max_disp,
+                        guard=guard)
 
 
 def batch_transform(vol, loc_shift, impl='auto', max_disp=8.0, **kwargs):
@@ -56,7 +60,8 @@ def batch_transform(vol, loc_shift, impl='auto', max_disp=8.0, **kwargs):
 
     With impl='onehot' the batch is folded into the engine's internal block
     scan rather than vmapped: a vmapped `dynamic_slice` would lower to the
-    slow scattered gather this engine exists to avoid.
+    slow scattered gather this engine exists to avoid. impl='window' passes
+    the batch straight through (`ops.warp.interpn_window` grids over it).
     """
     if impl == 'onehot' and jnp.asarray(loc_shift).shape[-1] == 3:
         from neurite_tpu.ops import warp as warp_ops
@@ -67,6 +72,15 @@ def batch_transform(vol, loc_shift, impl='auto', max_disp=8.0, **kwargs):
         grid = jnp.stack([m.astype(loc_shift.dtype) for m in mesh], -1)
         return warp_ops.interpn_onehot(vol, grid[None] + loc_shift,
                                        max_disp=max_disp, **kwargs)
+    if impl == 'window' and jnp.asarray(loc_shift).shape[-1] == 3:
+        from neurite_tpu.utils import core as _core
+        kwargs.pop('shift_center', None)
+        loc_shift = jnp.asarray(loc_shift)
+        out_shape = loc_shift.shape[1:-1]
+        mesh = _core.volshape_to_ndgrid(out_shape, dtype=jnp.int32)
+        grid = jnp.stack([m.astype(loc_shift.dtype) for m in mesh], -1)
+        return _core.interpn(vol, grid[None] + loc_shift, impl='window',
+                             max_disp=max_disp, **kwargs)
     return jax.vmap(lambda v, s: transform(v, s, impl=impl,
                                            max_disp=max_disp, **kwargs))(
                                                vol, loc_shift)
@@ -147,10 +161,15 @@ def integrate_vec(vec, nb_steps=7, impl='auto', max_disp=8.0):
     the squarings than a fixed final-size window.
     """
     vec = vec / (2.0 ** nb_steps)
-    if impl == 'onehot':
+    if impl in ('onehot', 'window'):
+        # guard='none' on the window engine: the per-step displacement bound
+        # |v_i| <= max_disp * 2^(i - nb_steps) is rigorous (see above), so
+        # the runtime guard + lax.cond would only add overhead
+        kw = dict(guard='none') if impl == 'window' else {}
         for i in range(nb_steps):
             step_disp = max(1.0, float(max_disp) / 2 ** (nb_steps - 1 - i))
-            vec = vec + transform(vec, vec, impl=impl, max_disp=step_disp)
+            vec = vec + transform(vec, vec, impl=impl, max_disp=step_disp,
+                                  **kw)
         return vec
     return jax.lax.fori_loop(
         0, nb_steps,
@@ -195,12 +214,13 @@ def batch_integrate_vec(vec, nb_steps=7, impl='auto', max_disp=8.0):
     `batch_transform`).
     """
     vec = vec / (2.0 ** nb_steps)
-    if impl == 'onehot':
+    if impl in ('onehot', 'window'):
         # per-step shrinking windows — see `integrate_vec`
+        kw = dict(guard='none') if impl == 'window' else {}
         for i in range(nb_steps):
             step_disp = max(1.0, float(max_disp) / 2 ** (nb_steps - 1 - i))
             vec = vec + batch_transform(vec, vec, impl=impl,
-                                        max_disp=step_disp)
+                                        max_disp=step_disp, **kw)
         return vec
     return jax.lax.fori_loop(
         0, nb_steps,

@@ -329,3 +329,61 @@ class TestWarpBoundRescale:
             outs[impl] = model.apply(v, labels, rngs={'augment': K1})
         np.testing.assert_array_equal(np.asarray(outs['auto']['map']),
                                       np.asarray(outs['gather']['map']))
+
+
+class TestLabelsToImage3DWindowWarp:
+    """The round-4 Pallas-window routes (the blast radius measured GONE, so
+    custom calls are admissible in the flagship program). On CPU the window
+    engine takes its XLA leg — these pin the routing/windowing math; the
+    Pallas leg itself is pinned by tests/test_ops_kernels.py."""
+
+    def _build(self, **kwargs):
+        return ne.models.labels_to_image_new(
+            labels_in=list(range(4)), in_shape=(16, 16, 16),
+            warp_blur_min=(4, 4, 4), warp_blur_max=(8, 8, 8), **kwargs)
+
+    def test_window_integration_matches_default(self):
+        """warp_impl='window' (guard='none' shrinking per-step windows) must
+        reproduce the exact-gather integration to float tolerance."""
+        labels = jnp.asarray(
+            np.random.default_rng(3).integers(0, 4, size=(1, 16, 16, 16, 1)),
+            jnp.int32)
+        outs = {}
+        for impl in ('gather', 'window'):
+            model = self._build(return_def=True, warp_impl=impl,
+                                aff_shift=2, aff_rotate=5)
+            v = model.init({'params': K0, 'augment': K1}, labels)
+            outs[impl] = model.apply(v, labels, rngs={'augment': K1})
+        np.testing.assert_allclose(np.asarray(outs['gather']['def']),
+                                   np.asarray(outs['window']['def']),
+                                   atol=1e-5)
+        a = np.asarray(outs['gather']['image'])
+        b = np.asarray(outs['window']['image'])
+        mismatch = np.mean(~np.isclose(a, b, atol=1e-5))
+        assert mismatch < 0.02, f'{mismatch:.4f} of voxels differ'
+
+    def test_label_warp_window_matches_gather(self):
+        """label_warp_impl='window' (value gathers, shift bound folded into
+        the window) must be bit-identical to the gather path."""
+        labels = jnp.asarray(
+            np.random.default_rng(5).integers(0, 6, size=(1, 16, 16, 16, 1)),
+            jnp.int32)
+        outs = {}
+        for impl in ('gather', 'window'):
+            model = self._build(label_warp_impl=impl, aff_shift=3,
+                                axes_flip=True)
+            v = model.init({'params': K0, 'augment': K1}, labels)
+            outs[impl] = model.apply(v, labels, rngs={'augment': K1})
+        np.testing.assert_array_equal(np.asarray(outs['window']['map']),
+                                      np.asarray(outs['gather']['map']))
+        np.testing.assert_allclose(np.asarray(outs['window']['image']),
+                                   np.asarray(outs['gather']['image']),
+                                   atol=1e-6)
+
+    def test_label_warp_window_rejects_rotation(self):
+        labels = jnp.asarray(
+            np.random.default_rng(6).integers(0, 4, size=(1, 8, 8, 8, 1)),
+            jnp.int32)
+        model = self._build(label_warp_impl='window', aff_rotate=30)
+        with pytest.raises(AssertionError, match='translation'):
+            model.init({'params': K0, 'augment': K1}, labels)

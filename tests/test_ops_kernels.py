@@ -1003,3 +1003,36 @@ def test_lc_pallas2_supported_gate():
                                     (1, 1, 1), 'same')
     assert not pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 1,
                                     (2, 1, 1), 'same')
+
+
+@pytest.mark.parametrize('padding,C,O,B', [('same', 3, 1, 1),
+                                           ('same', 2, 4, 2),
+                                           ('valid', 3, 2, 2)])
+def test_lc_transposed_custom_vjp_matches_autodiff(padding, C, O, B):
+    """The hand-written V-major backward (lc_tap.lc_transposed_dx/_dk —
+    added after XLA's auto-transpose chose C-on-lanes layouts with 32x
+    padding at head scale) must match raw autodiff of the jnp form."""
+    from neurite_tpu.ops import lc_tap
+    rng = np.random.default_rng(11)
+    ks = (3, 3, 3)
+    sp = (6, 5, 7)
+    out_sp = sp if padding == 'same' else tuple(s - 2 for s in sp)
+    V = int(np.prod(out_sp))
+    x = jnp.asarray(rng.normal(size=(B, *sp, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(O, 27 * C, V)) * 0.2, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, *out_sp, O)), jnp.float32)
+
+    def loss_custom(x, k):
+        return jnp.sum(lc_tap.lc_transposed(x, k, ks, padding) * g)
+
+    def loss_raw(x, k):
+        return jnp.sum(lc_tap._lc_transposed_impl(x, k, ks, padding) * g)
+
+    np.testing.assert_allclose(np.asarray(loss_custom(x, k)),
+                               np.asarray(loss_raw(x, k)), rtol=1e-6)
+    dxc, dkc = jax.grad(loss_custom, argnums=(0, 1))(x, k)
+    dxr, dkr = jax.grad(loss_raw, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dxc), np.asarray(dxr),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dkc), np.asarray(dkr),
+                               rtol=1e-5, atol=1e-5)
