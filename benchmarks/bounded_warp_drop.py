@@ -57,3 +57,9 @@ for n1, n2 in ((1, 2), (1, 9)):
         step = (t2 - t1) / (n2 - n1)
         print(f'chains ({n1},{n2}) rep {rep}: step {1e3 * step:6.2f} ms '
               f'= {wv ** 3 / step / 1e9:.3f} Gvox/s', flush=True)
+
+# the definitive number: whole chain on device in one dispatch, min of reps
+from benchmarks._timing import chain_ms  # noqa: E402
+ms = chain_ms(lambda v: fn(v).reshape(wvol.shape), wvol, n=16)
+print(f'device-side chain_ms: {ms:6.2f} ms = '
+      f'{wv ** 3 / (ms / 1e3) / 1e9:.3f} Gvox/s', flush=True)

@@ -55,12 +55,14 @@ def bench(wv, method, variant, block, n2=64):
 if __name__ == '__main__':
     which = sys.argv[1:] or ['main']
     if 'main' in which or 'blocks' in which:
-        for block in ((2, 8), (4, 8), (8, 8), (2, 16), (4, 16)):
+        for block in ((2, 8), (4, 8), (8, 8), (16, 8), (4, 16), (8, 16)):
             bench(128, 'linear', 'kernel', block)
     if 'main' in which or 'variants' in which:
+        blk = tuple(int(x) for x in os.environ.get('SWEEP_BLOCK',
+                                                   '4,8').split(','))
         for variant in ('kernel', 'production', 'guard_none'):
-            bench(128, 'linear', variant, (2, 8))
-            bench(128, 'nearest', variant, (2, 8))
+            bench(128, 'linear', variant, blk)
+            bench(128, 'nearest', variant, blk)
     if 'main' in which or 'wide' in which:
         for block in ((2, 8), (4, 8)):
             bench(160, 'linear', 'kernel', block, n2=32)

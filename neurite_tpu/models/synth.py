@@ -119,18 +119,21 @@ class LabelsToImage(nn.Module):
     gamma: float = 0.5
     one_hot: bool = True
     half_res: bool = False
-    # SVF integration warp engine — exact while the integrated SVF stays
-    # within `warp_max_disp` per axis (default 4*warp_max; Gaussian-tail
-    # caveat in docs/DESIGN.md). 'window' = the Pallas v2 VPU kernel via the
-    # window engine (guard='none' — the per-step bound is rigorous) on TPU;
+    # SVF integration warp engine — the drawn velocity field is CLIPPED to
+    # +-warp_max_disp per axis (default 4*warp_max, a >=4-sigma tail), which
+    # makes the integrated SVF provably bounded by warp_max_disp and every
+    # engine below exact (and bit-comparable) on the clipped field.
+    # 'window' = the Pallas v2 VPU kernel via the window engine
+    # (guard='none' — the per-step bound is rigorous) on TPU;
     # 'onehot' = the block-windowed one-hot MXU engine
     # (ops.warp.interpn_onehot); 'auto' picks between those per backend
     # (measured: benchmarks/synth_impls.py); 'gather' = the
     # reference-identical XLA gather chain
     warp_impl: str = 'auto'
     # bound on the integrated SVF per axis at its NATIVE (integration)
-    # resolution — when not half_res the label warp's window is automatically
-    # doubled to cover the x2 rescale to full res
+    # resolution, ENFORCED by clipping the drawn velocity field — when not
+    # half_res the label warp's window is automatically doubled to cover
+    # the x2 rescale to full res
     warp_max_disp: Optional[float] = None
     # final nearest label warp: 'auto' = on TPU the Pallas v2 window kernel
     # gathering label VALUES (exact for nearest; translation/flip-only
@@ -245,6 +248,15 @@ class LabelsToImage(nn.Module):
                     keepdims=True)
             wdisp = (self.warp_max_disp if self.warp_max_disp is not None
                      else 4. * float(self.warp_max))
+            # ENFORCE the bound at the draw: |v| <= wdisp makes the
+            # per-step scaling-and-squaring window bound rigorous (by
+            # induction |v_i| <= wdisp * 2^(i-n), so the integrated SVF
+            # itself is <= wdisp) — every engine sees the same clipped
+            # field, so gather/onehot/window stay bit-comparable and the
+            # former Gaussian-tail caveat is gone. Clipping a >=4-sigma
+            # tail (the default bound is 4*warp_max) is statistically
+            # invisible in the augmentation distribution.
+            vel_field = jnp.clip(vel_field, -wdisp, wdisp)
             # 'auto' picks a block-windowed MXU/VPU engine for 3-D: inside
             # the fused synth+train program the gather chain serializes the
             # schedule — onehot integration + onehot label warp measured
@@ -267,6 +279,17 @@ class LabelsToImage(nn.Module):
             if not self.half_res:
                 def_field = jax.vmap(
                     lambda d: spatial.rescale_dense_transform(d, 2))(def_field)
+                # enforce the FULL-RES bound where it is consumed: the x2
+                # rescale doubles displacement values past the native-res
+                # clip, while the label/image warp windows are sized by
+                # wdisp_l (the DEFAULT 4*warp_max carries ~4x margin over
+                # typical integrated amplitudes, so this clip only touches
+                # the same rare tail) — clipping keeps the static windows
+                # rigorous and every engine bit-comparable
+                wdisp_l_full = (2. * self.warp_max_disp
+                                if self.warp_max_disp is not None
+                                else 4. * float(self.warp_max))
+                def_field = jnp.clip(def_field, -wdisp_l_full, wdisp_l_full)
             # affine ∘ SVF composition: the warped "volume" of the reference's
             # dense-compose is an exactly-affine field, so the gather warp
             # (the most expensive synthesis op) collapses to the closed form
@@ -312,10 +335,11 @@ class LabelsToImage(nn.Module):
                 'swap/half_res, and rotation/scale/shear within 30deg/0.3 '
                 "(beyond that the source windows blow up); use 'auto'")
         if self.label_warp_impl == 'window':
-            assert eligible, (
+            assert eligible and not self.axes_flip, (
                 "label_warp_impl='window' needs 3-D labels, no axis "
-                'swap/half_res, and a translation/flip-only affine (static '
-                "windows don't absorb rotation/scale/shear); use 'auto'")
+                'swap/flip/half_res, and a translation-only affine (static '
+                "windows don't absorb rotation/scale/shear or z/y axis "
+                "reversals); use 'auto'")
         route = self.label_warp_impl in ('auto', 'onehot', 'window')
         # warp_max_disp bounds the integrated SVF at its NATIVE (integration)
         # resolution; when not half_res the field is rescale_dense_transform'd
@@ -325,6 +349,8 @@ class LabelsToImage(nn.Module):
         # r1). The 4*warp_max DEFAULT already carries ~4x margin over the
         # integrated amplitude, so it covers the x2 rescale as-is — doubling
         # it too would only grow the window (measured +7ms on config #5).
+        # Either way the full-res field is CLIPPED to this same bound at the
+        # rescale above, so the windows are rigorous, not just probable.
         rescale_fac = 1. if self.half_res else 2.
         wdisp_l = (rescale_fac * self.warp_max_disp
                    if self.warp_max_disp is not None
@@ -341,7 +367,8 @@ class LabelsToImage(nn.Module):
             shift_b = float(np.max(self.aff_shift))
             use_window = (self.label_warp_impl == 'window'
                           or (self.label_warp_impl == 'auto'
-                              and backend.is_tpu() and shift_b <= 8.))
+                              and backend.is_tpu() and shift_b <= 8.
+                              and not self.axes_flip))
             if use_window:
                 labels = spatial.batch_transform(
                     labels, trans_dense, interp_method='nearest',

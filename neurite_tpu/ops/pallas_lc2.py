@@ -23,12 +23,14 @@ pattern, for the transposed kernel storage the layer now uses
 
 The backward splits: dk (the 99.9%-of-bytes cotangent) is the SAME kernel
 shape with `g * x_tap` in place of the accumulate — written natively in the
-transposed layout by `_dk` below; dx is tiny (x-sized) and stays on XLA as
-pad+add tap folds via `jax.linear_transpose` of the jnp form.
+transposed layout by `_dk` below; dx is tiny (x-sized) and uses the
+hand-written V-major tap folds (`lc_tap.lc_transposed_dx` — XLA's
+auto-transpose chose C-on-lanes layouts with 32x tile padding).
 
-Supported fast path: 3-D, stride 1, padding 'same', filters=1, odd kernel,
-C <= 16, H divisible by a usable y-band. Callers (`layers/local.py`) route
-everything else to the XLA forms. Measured numbers: docs/DESIGN.md
+Supported fast path: 3-D, stride 1, padding 'same', odd kernel, filters
+ride an in-block output loop bounded by VMEM + a 512-term unroll cap
+(`supported`), H divisible by a usable y-band. Callers (`layers/local.py`)
+route everything else to the XLA forms. Measured numbers: docs/DESIGN.md
 "LC head".
 """
 
@@ -43,22 +45,42 @@ from jax.experimental.pallas import tpu as pltpu
 from neurite_tpu.ops import lc_tap
 
 
-def supported(x_shape, kernel_size, filters, strides, padding):
-    """True when (B, D, H, W, C) x can take the v2 Pallas fast path."""
-    if len(x_shape) != 5 or filters != 1:
+def supported(x_shape, kernel_size, filters, strides, padding,
+              k_bytes=4):
+    """True when (B, D, H, W, C) x can take the v2 Pallas fast path.
+
+    filters > 1 rides the same kernel with an in-block output loop (r4);
+    the limit is VMEM: the double-buffered [O*TC, by, W] kernel block +
+    the halo slab must fit the ~16 MB v5e budget.
+    """
+    if len(x_shape) != 5 or filters < 1:
         return False
     if padding != 'same' or any(s != 1 for s in strides):
         return False
     if len(kernel_size) != 3 or any(k % 2 == 0 for k in kernel_size):
         return False
     b, d, h, w, c = x_shape
-    if c > 16:
-        return False
     # Mosaic DMA offsets on the sublane dim must be 8-aligned: the real
     # path requires an 8-multiple y band (by=8); other extents fall back
     # to the XLA transposed form (interpret-mode direct calls may use any
     # _pick_by divisor).
-    return h % 8 == 0
+    if h % 8 != 0:
+        return False
+    kz, ky, kx = kernel_size
+    tc = kz * ky * kx * c
+    # the fma pyramid is a static unroll of O*TC terms — cap it so the
+    # remote Mosaic compile stays tractable (C<=16 @ O=1 was the proven
+    # round-3 envelope = 432 terms)
+    if filters * tc > 512:
+        return False
+    by = 8
+    wp = -(-(w + kx - 1) // 128) * 128
+    sy = -(-(by + ky - 1) // 8) * 8
+    vmem = (2 * filters * tc * by * w * k_bytes      # kernel block (dbuf)
+            + 2 * c * kz * sy * wp * k_bytes         # halo slab (dbuf)
+            + 2 * filters * by * w * 4               # out block (dbuf)
+            + 2 * max(filters, tc) * by * w * 4)     # g block / headroom
+    return vmem <= 10 * 2 ** 20
 
 
 def _pick_by(H):
@@ -96,7 +118,8 @@ def _x_geometry(W, kx, interpret):
     return Wp, kx // 2, Wp - W - kx // 2
 
 
-def _fwd_kernel(k_ref, xp_ref, o_ref, slab, sem, *, C, ks, by, W, Wp, n, Sy):
+def _fwd_kernel(k_ref, xp_ref, o_ref, slab, sem, *, C, O, TC, ks, by, W, Wp,
+                n, Sy):
     kz, ky, kx = ks
     iz = pl.program_id(0)
     iy = pl.program_id(1)
@@ -125,7 +148,7 @@ def _fwd_kernel(k_ref, xp_ref, o_ref, slab, sem, *, C, ks, by, W, Wp, n, Sy):
         xp_ref.at[:, pl.ds(iz, kz), pl.ds(iy * by, Sy), :],
         slab.at[slot], sem.at[slot]).wait()
 
-    acc = jnp.zeros((by, W), jnp.float32)
+    accs = [jnp.zeros((by, W), jnp.float32) for _ in range(O)]
     t = 0
     for dz in range(kz):
         for dy in range(ky):
@@ -133,13 +156,19 @@ def _fwd_kernel(k_ref, xp_ref, o_ref, slab, sem, *, C, ks, by, W, Wp, n, Sy):
             for dx in range(kx):
                 xs = rows[:, :, dx:dx + W].astype(jnp.float32)
                 for c in range(C):
-                    acc = acc + (k_ref[t * C + c, 0].astype(jnp.float32)
-                                 * xs[c])
+                    # the tap slice is shared across the O outputs; only
+                    # the kernel row differs (filters ride an in-block loop)
+                    for o in range(O):
+                        accs[o] = accs[o] + (
+                            k_ref[o * TC + t * C + c, 0].astype(jnp.float32)
+                            * xs[c])
                 t += 1
-    o_ref[0] = acc
+    for o in range(O):
+        o_ref[o, 0] = accs[o]
 
 
-def _dk_kernel(g_ref, xp_ref, dk_ref, slab, sem, *, C, ks, by, W, Wp, n, Sy):
+def _dk_kernel(g_ref, xp_ref, dk_ref, slab, sem, *, C, O, TC, ks, by, W, Wp,
+               n, Sy):
     kz, ky, kx = ks
     iz = pl.program_id(0)
     iy = pl.program_id(1)
@@ -168,7 +197,7 @@ def _dk_kernel(g_ref, xp_ref, dk_ref, slab, sem, *, C, ks, by, W, Wp, n, Sy):
         xp_ref.at[:, pl.ds(iz, kz), pl.ds(iy * by, Sy), :],
         slab.at[slot], sem.at[slot]).wait()
 
-    g = g_ref[0, 0].astype(jnp.float32)                   # [by, W]
+    gs = [g_ref[o, 0].astype(jnp.float32) for o in range(O)]  # [by, W] each
     t = 0
     for dz in range(kz):
         for dy in range(ky):
@@ -176,13 +205,16 @@ def _dk_kernel(g_ref, xp_ref, dk_ref, slab, sem, *, C, ks, by, W, Wp, n, Sy):
             for dx in range(kx):
                 xs = rows[:, :, dx:dx + W].astype(jnp.float32)
                 for c in range(C):
-                    dk_ref[t * C + c, 0] = (g * xs[c]).astype(dk_ref.dtype)
+                    for o in range(O):
+                        dk_ref[o * TC + t * C + c, 0] = (
+                            gs[o] * xs[c]).astype(dk_ref.dtype)
                 t += 1
 
 
 def _pallas_fwd(x1, kt, ks, interpret):
-    """x1 [D, H, W, C], kt [TC, V] -> y [D, H, W] f32."""
+    """x1 [D, H, W, C], kt [O, TC, V] -> y [O, D, H, W] f32."""
     D, H, W, C = x1.shape
+    O, TC = kt.shape[0], kt.shape[1]
     kz, ky, kx = ks
     by = _pick_by(H)
     nby = H // by
@@ -192,29 +224,30 @@ def _pallas_fwd(x1, kt, ks, interpret):
     xp = jnp.moveaxis(x1, -1, 0)                          # [C, D, H, W]
     xp = jnp.pad(xp, ((0, 0), (kz // 2, kz // 2), (pad_lo, pad_hi),
                       (xlo, xhi)))
-    k4 = kt.reshape(kt.shape[0], D, H, W)
-    kern = functools.partial(_fwd_kernel, C=C, ks=ks, by=by, W=W, Wp=Wp,
-                             n=n, Sy=Sy)
+    k4 = kt.reshape(O * TC, D, H, W)
+    kern = functools.partial(_fwd_kernel, C=C, O=O, TC=TC, ks=ks, by=by,
+                             W=W, Wp=Wp, n=n, Sy=Sy)
     return pl.pallas_call(
         kern,
         grid_spec=pl.GridSpec(
             grid=(D, nby),
-            in_specs=[pl.BlockSpec((k4.shape[0], 1, by, W),
+            in_specs=[pl.BlockSpec((O * TC, 1, by, W),
                                    lambda i, j: (0, i, j, 0)),
                       pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, by, W), lambda i, j: (i, j, 0)),
+            out_specs=pl.BlockSpec((O, 1, by, W), lambda i, j: (0, i, j, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, C, kz, Sy, Wp), xp.dtype),
                 pltpu.SemaphoreType.DMA((2,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((D, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((O, D, H, W), jnp.float32),
         interpret=interpret,
     )(k4, xp)
 
 
 def _pallas_dk(g1, x1, ks, k_dtype, interpret):
-    """g1 [D, H, W] f32, x1 [D, H, W, C] -> dk [TC, V] in k_dtype."""
+    """g1 [O, D, H, W] f32, x1 [D, H, W, C] -> dk [O, TC, V] in k_dtype."""
     D, H, W, C = x1.shape
+    O = g1.shape[0]
     kz, ky, kx = ks
     by = _pick_by(H)
     nby = H // by
@@ -225,43 +258,43 @@ def _pallas_dk(g1, x1, ks, k_dtype, interpret):
     xp = jnp.moveaxis(x1, -1, 0)
     xp = jnp.pad(xp, ((0, 0), (kz // 2, kz // 2), (pad_lo, pad_hi),
                       (xlo, xhi)))
-    g4 = g1.reshape(1, D, H, W)
-    kern = functools.partial(_dk_kernel, C=C, ks=ks, by=by, W=W, Wp=Wp,
-                             n=n, Sy=Sy)
+    kern = functools.partial(_dk_kernel, C=C, O=O, TC=TC, ks=ks, by=by,
+                             W=W, Wp=Wp, n=n, Sy=Sy)
     dk = pl.pallas_call(
         kern,
         grid_spec=pl.GridSpec(
             grid=(D, nby),
-            in_specs=[pl.BlockSpec((1, 1, by, W), lambda i, j: (0, i, j, 0)),
+            in_specs=[pl.BlockSpec((O, 1, by, W), lambda i, j: (0, i, j, 0)),
                       pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((TC, 1, by, W), lambda i, j: (0, i, j, 0)),
+            out_specs=pl.BlockSpec((O * TC, 1, by, W),
+                                   lambda i, j: (0, i, j, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, C, kz, Sy, Wp), xp.dtype),
                 pltpu.SemaphoreType.DMA((2,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((TC, D, H, W), k_dtype),
+        out_shape=jax.ShapeDtypeStruct((O * TC, D, H, W), k_dtype),
         interpret=interpret,
-    )(g4, xp)
-    return dk.reshape(TC, D * H * W)
+    )(g1, xp)
+    return dk.reshape(O, TC, D * H * W)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def lc_transposed_pallas(x, kernel, kernel_size, interpret=False):
     """
-    Locally-connected conv, Pallas v2 (stride 1, SAME, filters=1).
+    Locally-connected conv, Pallas v2 (stride 1, SAME, any filters within
+    the `supported` VMEM/unroll envelope).
 
-    x: [B, D, H, W, C]; kernel: [1, prod(k)*C, V] transposed layout
-    (`ops/lc_tap.py`). Returns [B, D, H, W, 1] float32.
+    x: [B, D, H, W, C]; kernel: [O, prod(k)*C, V] transposed layout
+    (`ops/lc_tap.py`). Returns [B, D, H, W, O] float32.
     """
     y, _ = _fwd_impl(x, kernel, kernel_size, interpret)
     return y
 
 
 def _fwd_impl(x, kernel, kernel_size, interpret):
-    kt = kernel[0]
-    ys = [_pallas_fwd(x[b], kt, tuple(kernel_size), interpret)
+    ys = [_pallas_fwd(x[b], kernel, tuple(kernel_size), interpret)
           for b in range(x.shape[0])]
-    y = jnp.stack(ys, 0)[..., None]
+    y = jnp.moveaxis(jnp.stack(ys, 0), 1, -1)             # [B, D, H, W, O]
     return y, (x, kernel)
 
 
@@ -272,7 +305,7 @@ def _fwd_rule(x, kernel, kernel_size, interpret):
 def _bwd_rule(kernel_size, interpret, res, g):
     x, kernel = res
     ks = tuple(kernel_size)
-    g1 = g[..., 0].astype(jnp.float32)                    # [B, D, H, W]
+    g1 = jnp.moveaxis(g, -1, 1).astype(jnp.float32)       # [B, O, D, H, W]
     # dk: kernel-shaped (the bandwidth-dominant cotangent) on the Pallas
     # kernel, produced natively in the transposed layout. At B=1 the kernel
     # writes dk at param dtype directly (halves the write traffic of the
@@ -284,7 +317,7 @@ def _bwd_rule(kernel_size, interpret, res, g):
     dks = [_pallas_dk(g1[b], x[b], ks, dk_dtype, interpret)
            for b in range(B)]
     dk = dks[0] if len(dks) == 1 else functools.reduce(jnp.add, dks)
-    dk = dk[None].astype(kernel.dtype)
+    dk = dk.astype(kernel.dtype)                          # [O, TC, V]
     # dx: x-sized (tiny next to dk) — the hand-written V-major tap folds
     # (lc_tap.lc_transposed_dx). XLA's auto-transpose of the jnp form put
     # the C axis on lanes (32x padded bf16 tiles, docs/DESIGN.md).

@@ -449,7 +449,13 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
     if ok is None:
         out = fast((vol_b, loc_b))
     else:
-        out = jax.lax.cond(ok, fast, slow, (vol_b, loc_b))
+        # speculative execution + post-hoc validation: run the fast engine
+        # unconditionally so it overlaps the guard reduction instead of
+        # serializing behind it (cond forces the predicate before either
+        # branch starts); the cond then only gates the rare exact recompute
+        # vs the already-computed result.
+        out_fast = fast((vol_b, loc_b))
+        out = jax.lax.cond(ok, lambda args: out_fast, slow, (vol_b, loc_b))
     return out if batched else out[0]
 
 

@@ -370,8 +370,7 @@ class TestLabelsToImage3DWindowWarp:
             jnp.int32)
         outs = {}
         for impl in ('gather', 'window'):
-            model = self._build(label_warp_impl=impl, aff_shift=3,
-                                axes_flip=True)
+            model = self._build(label_warp_impl=impl, aff_shift=3)
             v = model.init({'params': K0, 'augment': K1}, labels)
             outs[impl] = model.apply(v, labels, rngs={'augment': K1})
         np.testing.assert_array_equal(np.asarray(outs['window']['map']),
@@ -380,10 +379,40 @@ class TestLabelsToImage3DWindowWarp:
                                    np.asarray(outs['gather']['image']),
                                    atol=1e-6)
 
-    def test_label_warp_window_rejects_rotation(self):
+    def test_label_warp_window_rejects_rotation_and_flip(self):
         labels = jnp.asarray(
             np.random.default_rng(6).integers(0, 4, size=(1, 8, 8, 8, 1)),
             jnp.int32)
         model = self._build(label_warp_impl='window', aff_rotate=30)
         with pytest.raises(AssertionError, match='translation'):
             model.init({'params': K0, 'augment': K1}, labels)
+        # z/y axis reversals are unabsorbable by static windows: the one-hot
+        # engine's dynamic block starts take them, the Pallas path must not
+        model = self._build(label_warp_impl='window', axes_flip=True)
+        with pytest.raises(AssertionError, match='flip'):
+            model.init({'params': K0, 'augment': K1}, labels)
+
+    def test_svf_clip_enforces_bound_and_engine_parity(self):
+        """The drawn velocity field is clipped to +-warp_max_disp, so the
+        window bound is rigorous — engines must agree bit-for-bit even when
+        the raw Gaussian draw exceeds the bound (tiny warp_max_disp forces
+        the clip to bite)."""
+        labels = jnp.asarray(
+            np.random.default_rng(9).integers(0, 4, size=(1, 16, 16, 16, 1)),
+            jnp.int32)
+        outs = {}
+        for impl in ('gather', 'window'):
+            model = self._build(return_vel=True, return_def=True,
+                                warp_impl=impl, warp_max=4,
+                                warp_max_disp=1.5)
+            v = model.init({'params': K0, 'augment': K1}, labels)
+            outs[impl] = model.apply(v, labels, rngs={'augment': K1})
+        vel = np.asarray(outs['gather']['vel'])
+        assert np.max(np.abs(vel)) <= 1.5 + 1e-6
+        # the clip must actually bite for this draw to test anything
+        assert np.max(np.abs(vel)) > 1.5 - 1e-3
+        # full-res def field clipped to the doubled bound
+        assert np.max(np.abs(np.asarray(outs['gather']['def']))) <= 3.0 + 1e-5
+        np.testing.assert_allclose(np.asarray(outs['gather']['def']),
+                                   np.asarray(outs['window']['def']),
+                                   atol=1e-5)

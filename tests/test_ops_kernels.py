@@ -961,6 +961,37 @@ def test_lc_pallas2_gradients_match_jnp():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_lc_pallas2_multi_filter_matches_jnp():
+    """filters > 1 (r4): the in-block output loop must match the jnp
+    transposed form in value and both gradients."""
+    from neurite_tpu.ops import lc_tap, pallas_lc2
+    D, H, W, C, O = 5, 8, 8, 2, 3
+    ks = (3, 3, 3)
+    V, TC = D * H * W, 27 * C
+    x = jnp.asarray(rng.normal(size=(2, D, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(O, TC, V)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, D, H, W, O)), jnp.float32)
+
+    want = lc_tap.lc_transposed(x, k, ks, 'same')
+    got = pallas_lc2.lc_transposed_pallas(x, k, ks, True)
+    assert got.shape == (2, D, H, W, O)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_ref(x, k):
+        return jnp.sum(lc_tap.lc_transposed(x, k, ks, 'same') * g)
+
+    def loss_pal(x, k):
+        return jnp.sum(pallas_lc2.lc_transposed_pallas(x, k, ks, True) * g)
+
+    dr = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    dp = jax.grad(loss_pal, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dp[0]), np.asarray(dr[0]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp[1]), np.asarray(dr[1]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_lc_pallas2_bf16_kernel_dk_dtype():
     # bf16 params: dk must come back bf16 (written natively by the dk
     # kernel) and match the f32 reference to bf16 rounding
@@ -991,9 +1022,12 @@ def test_lc_pallas2_supported_gate():
     ok = pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 1, (1, 1, 1),
                               'same')
     assert ok
-    # rejects: multi-filter, even kernel, valid padding, wide channels,
-    # strides
-    assert not pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 2,
+    # filters > 1 rides the in-block output loop (r4) within the unroll cap
+    assert pallas_lc2.supported((1, 8, 8, 8, 3), (3, 3, 3), 2,
+                                (1, 1, 1), 'same')
+    # rejects: unroll cap (O*TC > 512), even kernel, valid padding, wide
+    # channels, strides
+    assert not pallas_lc2.supported((1, 8, 8, 8, 8), (3, 3, 3), 4,
                                     (1, 1, 1), 'same')
     assert not pallas_lc2.supported((1, 8, 8, 8, 3), (2, 3, 3), 1,
                                     (1, 1, 1), 'same')
