@@ -335,15 +335,15 @@ def main():
     # Sub-ms kernels need long chains to resolve above tunnel noise
     warp_win_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
-            v, loc, impl='window', max_disp=3.0, block=(2, 8)),
+            v, loc, impl='window', max_disp=3.0),
             wvol, 1, 33), 480)
     # nearest variant of the same engine (measured ~1.7x linear on the v2
     # kernel — it skips the second tap set; VERDICT r3 weak #1 asked for
     # this to be driver-visible)
     warp_win_near_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
-            v, loc, impl='window', interp_method='nearest', max_disp=3.0,
-            block=(2, 8)), wvol, 1, 49), 480)
+            v, loc, impl='window', interp_method='nearest',
+            max_disp=3.0), wvol, 1, 49), 480)
     # bounded-displacement warp on the one-hot MXU engine: the loc field is
     # uniform +-3 so max_disp=3 makes it EXACT (ops.warp.interpn_onehot)
     warp_oh_s = with_deadline(

@@ -25,6 +25,7 @@ import numpy as np  # noqa: E402
 
 from neurite_tpu.layers import local as L  # noqa: E402
 from neurite_tpu.ops import lc_tap  # noqa: E402
+from benchmarks._timing import step_chain_ms  # noqa: E402
 
 size = int(os.environ.get('LC_SIZE', 160))
 C, O, k = 4, 4, 3
@@ -55,27 +56,26 @@ def f_transposed(x, kt):
     return lc_tap.lc_transposed(x, kt, ks, 'same').astype(x.dtype)
 
 
-def fit(fn, *args, n1=1, n2=5):
-    jf = jax.jit(fn)
-    r = jf(*args)
-    jax.block_until_ready(r)
-    outs = []
-    for n in (n1, n2):
-        t = jnp.zeros((), x.dtype)
-        t0 = time.time()
-        for i in range(n):
-            r = jf(args[0] + t, *args[1:])
-            t = 0. * jnp.asarray(r, jnp.float32).ravel()[0].astype(x.dtype)
-        jax.block_until_ready(t)
-        outs.append(time.time() - t0)
-    return 1e3 * (outs[1] - outs[0]) / (n2 - n1)
+def fit(fn, x0, w0, n=8):
+    def step(t, i, x0, w0):
+        r = fn(x0 + t.astype(x0.dtype), w0)
+        return 0. * jax.lax.optimization_barrier(
+            jnp.float32(jnp.asarray(r).ravel()[0]))
+    return step_chain_ms(step, jnp.zeros(()), n=n, args=(x0, w0))
 
 
-def gfit(fn, *args, **kw):
+def gfit(fn, x0, w0, n=8):
     def g(x0, k0):
         return jnp.sum(jnp.asarray(fn(x0, k0), jnp.float32) ** 2)
     gr = jax.grad(g, argnums=(0, 1))
-    return fit(lambda x0, k0: gr(x0, k0)[1], *args, **kw)
+
+    def step(t, i, x0, w0):
+        gx, gw = gr(x0 + t.astype(x0.dtype), w0)
+        return (0. * jax.lax.optimization_barrier(
+                    jnp.float32(gx.ravel()[0]))
+                + 0. * jax.lax.optimization_barrier(
+                    jnp.float32(gw.ravel()[0])))
+    return step_chain_ms(step, jnp.zeros(()), n=n, args=(x0, w0))
 
 
 forms = [('transposed', f_transposed, kt),

@@ -33,9 +33,19 @@ size = int(os.environ.get('LC_PROFILE_SIZE', '160'))
 pdt = jnp.bfloat16
 
 
-def timeit(fn, n=12):
-    """fn(carry, i) -> carry (a f32 scalar chaining the steps)."""
-    return step_chain_ms(fn, jnp.zeros(()), n=n)
+def timeit(fn, n=12, args=(), carry0=None):
+    """fn(carry, i, *args) -> carry; big tensors ride `args` (HTTP-413
+    rule, benchmarks/_timing.py). Scalar-carry callers must route the
+    expensive value through lax.optimization_barrier before zeroing it —
+    a bare `0. * value` lets XLA fold the chain to a constant and DCE the
+    whole computation (measured 0.00 ms)."""
+    c0 = jnp.zeros(()) if carry0 is None else carry0
+    return step_chain_ms(fn, c0, n=n, args=args)
+
+
+def alive(v):
+    """Scalar that DEPENDS on v but costs nothing: barrier then zero."""
+    return 0. * jax.lax.optimization_barrier(jnp.float32(v))
 
 
 def report(name, ms):
@@ -75,11 +85,11 @@ def main():
                                          optax.adam(1e-4))
         stp = jax.jit(training.make_train_step(mse))
 
-        def run_trunk(t, i):
-            _, m = stp(st, (x + t, y), jax.random.fold_in(
+        def run_trunk(st2, i, x, y):
+            st2, m = stp(st2, (x, y), jax.random.fold_in(
                 jax.random.PRNGKey(0), i))
-            return 0. * m['loss'].astype(jnp.float32)
-        report('trunk', timeit(run_trunk))
+            return st2
+        report('trunk', timeit(run_trunk, args=(x, y), carry0=st))
 
     # LC layer alone at the head input shape (4 channels from the trunk)
     xl = jnp.asarray(rng.normal(size=(1, size, size, size, 4)), jnp.bfloat16)
@@ -90,18 +100,20 @@ def main():
     if 'lc_fwd' in which:
         fwd = jax.jit(lambda v, xx: lc.apply(v, xx))
         report('lc_fwd', timeit(
-            lambda t, i: 0. * jnp.float32(
-                fwd(v, xl + t.astype(xl.dtype)).ravel()[0])))
+            lambda t, i, v, xl: alive(
+                fwd(v, xl + t.astype(xl.dtype)).ravel()[0]),
+            args=(v, xl)))
 
     if 'lc_grad' in which:
         def loss(v, xx):
             return jnp.mean(lc.apply(v, xx).astype(jnp.float32) ** 2)
         gr = jax.jit(jax.grad(loss, argnums=(0, 1)))
 
-        def run_grad(t, i):
+        def run_grad(t, i, v, xl):
             gv, gx = gr(v, xl + t.astype(xl.dtype))
-            return 0. * jnp.float32(gx.ravel()[0])
-        report('lc_grad', timeit(run_grad))
+            return alive(gx.ravel()[0]) + alive(
+                jax.tree.leaves(gv)[0].ravel()[0])
+        report('lc_grad', timeit(run_grad, args=(v, xl)))
 
     if 'adam' in which:
         tx = optax.adam(1e-4)
@@ -109,13 +121,14 @@ def main():
         g = jax.tree.map(jnp.ones_like, v['params'])
 
         @jax.jit
-        def upd(t):
+        def upd(t, g, opt0, params):
             gg = jax.tree.map(lambda a: a + t.astype(a.dtype), g)
-            u, o = tx.update(gg, opt0, v['params'])
-            return optax.apply_updates(v['params'], u)
+            u, o = tx.update(gg, opt0, params)
+            return optax.apply_updates(params, u)
         report('adam', timeit(
-            lambda t, i: 0. * jnp.float32(
-                jax.tree.leaves(upd(t))[0].ravel()[0])))
+            lambda t, i, g, opt0, params: alive(
+                jax.tree.leaves(upd(t, g, opt0, params))[0].ravel()[0]),
+            args=(g, opt0, v['params'])))
 
     if 'full' in which:
         model = EncDecLC()
@@ -123,11 +136,11 @@ def main():
                                          optax.adam(1e-4))
         stp = jax.jit(training.make_train_step(mse))
 
-        def run_full(t, i):
-            _, m = stp(st, (x + t, y), jax.random.fold_in(
+        def run_full(st2, i, x, y):
+            st2, m = stp(st2, (x, y), jax.random.fold_in(
                 jax.random.PRNGKey(0), i))
-            return 0. * m['loss'].astype(jnp.float32)
-        report('full', timeit(run_full))
+            return st2
+        report('full', timeit(run_full, args=(x, y), carry0=st))
 
 
 if __name__ == '__main__':

@@ -56,10 +56,12 @@ def main():
         fwd_outs[name] = (np.asarray(out['image'], np.float32),
                           np.asarray(out['map'], np.float32))
 
-        def fwd_step(t, i, fwd=fwd, labels=labels):
+        def fwd_step(t, i, labels, fwd=fwd):
             o = fwd(labels, jax.random.fold_in(jax.random.PRNGKey(3), i))
-            return t * 0. + 0. * o['image'].astype(jnp.float32).ravel()[0]
-        f_ms = step_chain_ms(fwd_step, jnp.zeros(()), n=12)
+            # barrier keeps the synth program alive under XLA's 0*x fold
+            return t + 0. * jax.lax.optimization_barrier(
+                o['image'].astype(jnp.float32).ravel()[0])
+        f_ms = step_chain_ms(fwd_step, jnp.zeros(()), n=12, args=(labels,))
 
         unet = ne.models.unet(
             nb_features=16, input_shape=(SIZE,) * 3 + (1,), nb_levels=4,
@@ -77,11 +79,11 @@ def main():
 
         jstep = jax.jit(synth_step)
 
-        def run(st, i, jstep=jstep, labels=labels):
+        def run(st, i, labels, jstep=jstep):
             st2, m = jstep(st, labels,
                            jax.random.fold_in(jax.random.PRNGKey(9), i))
             return st2
-        s_ms = step_chain_ms(run, state, n=12)
+        s_ms = step_chain_ms(run, state, n=12, args=(labels,))
         print(f'{name:15s}: fwd {f_ms:6.2f} ms   step {s_ms:6.2f} ms '
               f'= {1e3 / s_ms:5.2f} vol/s', flush=True)
 

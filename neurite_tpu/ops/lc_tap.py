@@ -112,8 +112,13 @@ def lc_transposed_dx(g, kernel, kernel_size, padding, x_shape):
 
     g: [B, *out_spatial, O] (any float dtype); kernel: [O, prod(k)*C, V].
     Returns dx [B, *spatial, C] in float32 (callers cast). Every
-    intermediate keeps the spatial axes trailing (lane-dense rows); the
-    tap scatter-adds are static-slice `.at[].add` folds.
+    intermediate keeps the spatial axes trailing (lane-dense rows), and
+    the formulation is READ-only: dx[r] = sum_t m_t[r + p0 - offs_t] with
+    m_t = sum_o k_t * g, realized as pad-once + static-slice adds that XLA
+    fuses into one accumulation. (The scatter form — `.at[offs].add` per
+    tap — lowered to serial dynamic-update-slice copies and blew the
+    config-#3 step 96 -> 646 ms; same pathology as the patch extraction in
+    docs/DESIGN.md "LC head".)
     """
     ndims = len(kernel_size)
     C = x_shape[-1]
@@ -123,16 +128,21 @@ def lc_transposed_dx(g, kernel, kernel_size, padding, x_shape):
     gcm = jnp.moveaxis(g, -1, 1).astype(jnp.float32)  # [B, O, *out]
     k3 = kernel.reshape(O, kernel.shape[1], *out_sp)
     pads = _pads(kernel_size) if padding == 'same' else [(0, 0)] * ndims
-    pad_sp = [s + p0 + p1 for s, (p0, p1) in zip(sp, pads)]
     B = g.shape[0]
-    dxp = jnp.zeros((B, C, *pad_sp), jnp.float32)
+    # mp index = (r + p0 - offs) + (k-1-p0) = r + (k-1) - offs
+    padcfg = ([(0, 0), (0, 0)]
+              + [(k - 1 - p0, s + p0 - o)
+                 for k, (p0, _), s, o in zip(kernel_size, pads, sp, out_sp)])
+    dx = jnp.zeros((B, C, *sp), jnp.float32)
     for t, offs in enumerate(_taps(kernel_size)):
         kt = k3[:, t * C:(t + 1) * C].astype(jnp.float32)   # [O, C, *out]
-        q = jnp.sum(kt[None] * gcm[:, :, None], axis=1)     # [B, C, *out]
-        sl = tuple(slice(offs[d], offs[d] + out_sp[d]) for d in range(ndims))
-        dxp = dxp.at[(slice(None), slice(None), *sl)].add(q)
-    sl = tuple(slice(p0, p0 + s) for s, (p0, _) in zip(sp, pads))
-    return jnp.moveaxis(dxp[(slice(None), slice(None), *sl)], 1, -1)
+        m = jnp.sum(kt[None] * gcm[:, :, None], axis=1)     # [B, C, *out]
+        mp = jnp.pad(m, padcfg)
+        sl = tuple(slice(kernel_size[d] - 1 - offs[d],
+                         kernel_size[d] - 1 - offs[d] + sp[d])
+                   for d in range(ndims))
+        dx = dx + mp[(slice(None), slice(None), *sl)]
+    return jnp.moveaxis(dx, 1, -1)
 
 
 def lc_transposed_dk(g, x, kernel_size, padding):

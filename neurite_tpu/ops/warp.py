@@ -322,7 +322,7 @@ def disp_ok(loc, vol_shape, interp_method='linear', max_disp=4):
 
 
 def interpn_window(vol, loc, interp_method='linear', fill_value=None,
-                   block=(8, 8, 64), window_pad=5, matmul_dtype=None,
+                   block=None, window_pad=5, matmul_dtype=None,
                    engine='auto', guard='runtime'):
     """
     UNBOUNDED-exact general warp: the block-windowed one-hot MXU engine
@@ -396,6 +396,12 @@ def interpn_window(vol, loc, interp_method='linear', fill_value=None,
         from neurite_tpu import backend
         engine = 'pallas' if ((no_channel or squeeze1 or auto_ch) and shape_ok
                               and backend.is_tpu()) else 'xla'
+    # per-engine default block: the v2 Pallas kernel's compute is
+    # bz-independent (per-plane z windows), so larger bz amortizes slab DMA
+    # — (16, 8) measured best at 128^3 (benchmarks/warp_v2_sweep.py); the
+    # XLA one-hot engine wants small blocks ((8, 8, 64)).
+    if block is None:
+        block = (16, 8) if engine == 'pallas' else (8, 8, 64)
     if engine == 'pallas':
         assert pallas_ok, ('pallas engine needs a single-/small-channel '
                            'volume with x extent = W')

@@ -68,7 +68,7 @@ def setup_device(gpuid=None):
 ###############################################################################
 
 def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto',
-            max_disp=8.0, block=(8, 8), guard='runtime'):
+            max_disp=8.0, block=None, guard='runtime'):
     """
     N-D gridded interpolation (linear or nearest) of `vol` at locations `loc`.
 
@@ -114,13 +114,15 @@ def interpn(vol, loc, interp_method='linear', fill_value=None, impl='auto',
         from neurite_tpu.ops import warp as warp_ops
         return warp_ops.interpn_onehot(vol, loc, interp_method=interp_method,
                                        fill_value=fill_value,
-                                       max_disp=max_disp, block=block)
+                                       max_disp=max_disp,
+                                       block=block or (8, 8))
 
     # impl='window' is the UNBOUNDED-exact engine: dynamic per-block windows
     # + runtime spread guard + gather-chain fallback (ops.warp.interpn_window).
     if (impl == 'window' and nb_dims == 3 and vol.ndim in (3, 4, 5)):
         from neurite_tpu.ops import warp as warp_ops
-        blk = block if len(block) > 2 else (block[0], block[1], 64)
+        blk = (None if block is None
+               else block if len(block) > 2 else (block[0], block[1], 64))
         return warp_ops.interpn_window(
             vol, loc, interp_method=interp_method, fill_value=fill_value,
             block=blk, window_pad=int(np.ceil(max_disp)) + 1, guard=guard)
