@@ -56,6 +56,11 @@ def f_transposed(x, kt):
     return lc_tap.lc_transposed(x, kt, ks, 'same').astype(x.dtype)
 
 
+def f_pallas(x, kt):
+    from neurite_tpu.ops import pallas_lc2
+    return pallas_lc2.lc_transposed_pallas(x, kt, ks).astype(x.dtype)
+
+
 def fit(fn, x0, w0, n=8):
     def step(t, i, x0, w0):
         r = fn(x0 + t.astype(x0.dtype), w0)
@@ -79,6 +84,7 @@ def gfit(fn, x0, w0, n=8):
 
 
 forms = [('transposed', f_transposed, kt),
+         ('pallas', f_pallas, kt),
          ('per_tap', f_pertap, kk),
          ('einsum', f_einsum, kk)]
 sel = sys.argv[1:] or [n for n, _, _ in forms]

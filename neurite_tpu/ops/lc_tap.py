@@ -130,41 +130,52 @@ def lc_transposed_dx(g, kernel, kernel_size, padding, x_shape):
     pads = _pads(kernel_size) if padding == 'same' else [(0, 0)] * ndims
     B = g.shape[0]
     # mp index = (r + p0 - offs) + (k-1-p0) = r + (k-1) - offs
-    padcfg = ([(0, 0), (0, 0)]
+    padcfg = ([(0, 0)]
               + [(k - 1 - p0, s + p0 - o)
                  for k, (p0, _), s, o in zip(kernel_size, pads, sp, out_sp)])
-    dx = jnp.zeros((B, C, *sp), jnp.float32)
-    for t, offs in enumerate(_taps(kernel_size)):
-        kt = k3[:, t * C:(t + 1) * C].astype(jnp.float32)   # [O, C, *out]
-        m = jnp.sum(kt[None] * gcm[:, :, None], axis=1)     # [B, C, *out]
-        mp = jnp.pad(m, padcfg)
-        sl = tuple(slice(kernel_size[d] - 1 - offs[d],
-                         kernel_size[d] - 1 - offs[d] + sp[d])
-                   for d in range(ndims))
-        dx = dx + mp[(slice(None), slice(None), *sl)]
-    return jnp.moveaxis(dx, 1, -1)
+    # NOTE per-(tap, channel) loops on purpose: every intermediate is
+    # [B, *spatial] with NO channel axis — vectorizing C as a middle dim
+    # ([O, C, *out] tap slices) let XLA's layout assignment put C on lanes
+    # (bf16 tiles padded ~32x, a measured 52 GB HLO-temp OOM at 160^3).
+    dxs = []
+    for c in range(C):
+        acc = jnp.zeros((B, *sp), jnp.float32)
+        for t, offs in enumerate(_taps(kernel_size)):
+            kc = k3[:, t * C + c].astype(jnp.float32)       # [O, *out]
+            m = jnp.sum(kc[None] * gcm, axis=1)             # [B, *out]
+            mp = jnp.pad(m, padcfg)
+            sl = tuple(slice(kernel_size[d] - 1 - offs[d],
+                             kernel_size[d] - 1 - offs[d] + sp[d])
+                       for d in range(ndims))
+            acc = acc + mp[(slice(None), *sl)]
+        dxs.append(acc)
+    return jnp.stack(dxs, -1)                         # [B, *sp, C]
 
 
 def lc_transposed_dk(g, x, kernel_size, padding):
     """
     Kernel cotangent of `lc_transposed`, produced NATIVELY in the
     transposed layout [O, prod(k)*C, V] (V-major rows, no relayout).
-    Returns float32 (callers cast).
+    Returns float32 (callers cast). Per-(tap, channel) loops keep every
+    intermediate free of a channel axis (see `lc_transposed_dx`).
     """
     ndims = len(kernel_size)
     C = x.shape[-1]
     out_sp = _out_shape(x.shape[1:-1], kernel_size, padding)
     gcm = jnp.moveaxis(g, -1, 1).astype(jnp.float32)  # [B, O, *out]
-    xcm = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # [B, C, *sp]
     if padding == 'same':
-        xcm = jnp.pad(xcm, ((0, 0), (0, 0)) + tuple(_pads(kernel_size)))
+        xpads = ((0, 0),) + tuple(_pads(kernel_size)) + ((0, 0),)
+        xp = jnp.pad(x, xpads)
+    else:
+        xp = x
     rows = []
     for t, offs in enumerate(_taps(kernel_size)):
         sl = tuple(slice(offs[d], offs[d] + out_sp[d]) for d in range(ndims))
-        xt = xcm[(slice(None), slice(None), *sl)]     # [B, C, *out]
-        # dk_t[o, c, v] = sum_b g[b, o, v] * xt[b, c, v]
-        rows.append(jnp.sum(gcm[:, :, None] * xt[:, None], axis=0))
-    dk = jnp.concatenate(rows, axis=1)                # [O, prod(k)*C, *out]
+        for c in range(C):
+            xt = xp[(slice(None), *sl, c)].astype(jnp.float32)  # [B, *out]
+            # dk_t[o, v] = sum_b g[b, o, v] * xt[b, v]
+            rows.append(jnp.sum(gcm * xt[:, None], axis=0))     # [O, *out]
+    dk = jnp.stack(rows, axis=1)                      # [O, prod(k)*C, *out]
     return dk.reshape(dk.shape[0], dk.shape[1], -1)
 
 
