@@ -18,8 +18,26 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _DEBUG = os.environ.get('TIMING_DEBUG', '') not in ('', '0')
+
+
+def _sync(x):
+    """Force completion by FETCHING one element of the first array leaf.
+
+    `jax.block_until_ready` is NOT a reliable barrier on every tunneled
+    PJRT runtime this repo meets: on the 2026-08-19 pool instance it
+    returns in ~0.1 ms while the chain is still in flight (measured: a
+    16-step scan of a 96 ms train step "completed" in 0.1 ms; a real fetch
+    takes the expected seconds). Only a device_get round trip is
+    guaranteed to wait, so both helpers sync through a one-element fetch —
+    the extra dispatch RTT is constant and cancels in the two-point fit.
+    """
+    leaf = next((v for v in jax.tree.leaves(x)
+                 if hasattr(v, 'dtype') and getattr(v, 'size', 0)), None)
+    if leaf is not None:
+        np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
 def _perturb(x, r):
@@ -61,12 +79,12 @@ def chain_ms(fn, x0, n=32, reps=4, args=()):
     g1, gn = make(1), make(n)
     best = {}
     for key, g in (('one', g1), ('n', gn)):
-        jax.block_until_ready(g(x0, *args))  # compile + warm
+        _sync(g(x0, *args))  # compile + warm
         ts = []
         for r in range(reps):
             xr = _perturb(x0, r + 1)
             t0 = time.perf_counter()
-            jax.block_until_ready(g(xr, *args))
+            _sync(g(xr, *args))
             ts.append(time.perf_counter() - t0)
         if _DEBUG:
             print(f'  [chain_ms {key}] raw s: '
@@ -95,12 +113,12 @@ def step_chain_ms(step_fn, carry0, n=16, reps=3, args=()):
     g1, gn = make(1), make(n)
     best = {}
     for key, g in (('one', g1), ('n', gn)):
-        jax.block_until_ready(g(carry0, *args))
+        _sync(g(carry0, *args))  # compile + warm
         ts = []
         for r in range(reps):
             cr = _perturb(carry0, r + 1)
             t0 = time.perf_counter()
-            jax.block_until_ready(g(cr, *args))
+            _sync(g(cr, *args))
             ts.append(time.perf_counter() - t0)
         if _DEBUG:
             print(f'  [step_chain_ms {key}] raw s: '
