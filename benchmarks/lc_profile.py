@@ -120,15 +120,14 @@ def main():
         opt0 = tx.init(v['params'])
         g = jax.tree.map(jnp.ones_like, v['params'])
 
-        @jax.jit
-        def upd(t, g, opt0, params):
-            gg = jax.tree.map(lambda a: a + t.astype(a.dtype), g)
-            u, o = tx.update(gg, opt0, params)
-            return optax.apply_updates(params, u)
-        report('adam', timeit(
-            lambda t, i, g, opt0, params: alive(
-                jax.tree.leaves(upd(t, g, opt0, params))[0].ravel()[0]),
-            args=(g, opt0, v['params'])))
+        # State-as-carry (like trunk/full): params+opt ride the chain, so
+        # every step's update genuinely depends on the previous one — the
+        # scalar-carry form measured ~0 (the chain collapsed).
+        def upd(c, i, g):
+            params, opt = c
+            u, o = tx.update(g, opt, params)
+            return (optax.apply_updates(params, u), o)
+        report('adam', timeit(upd, args=(g,), carry0=(v['params'], opt0)))
 
     if 'full' in which:
         model = EncDecLC()

@@ -90,19 +90,25 @@ def _lc_transposed_impl(x, kernel, kernel_size, padding):
         xcm = jnp.pad(xcm, ((0, 0), (0, 0)) + tuple(_pads(kernel_size)))
     k3 = kernel.reshape(O, kernel.shape[1], *out_sp)
 
-    # one broadcast multiply-reduce per TAP (trace size O(prod(k)), not
-    # O(prod(k)*C*O) — the unrolled per-channel form inflated HLO ~1700
-    # terms at the routing boundary C*O=64, k=3^3); XLA fuses the [B, O, C,
-    # *out] product into the reduction, so nothing materializes.
+    # per-(tap, channel) terms ON PURPOSE — every intermediate is
+    # [B, O, *out] with NO channel axis, like the hand-written dx/dk.
+    # The single-reduction-per-tap form ([B, O, C, *out] product, sum over
+    # C) gave XLA's layout assignment a C axis to put on lanes: measured
+    # fwd 17.1 -> 86.3 ms at the 160^3 head, and its grad remats f32
+    # copies of the 884 MB kernel (HLO-temp OOM). Trace size is
+    # O(prod(k)*C) terms; the routing threshold (C*filters <= 64,
+    # layers/local.py) caps it at ~1728 — acceptable, and head-class
+    # layers (C <= 16) stay in the proven round-3 envelope.
     y = None
     for t, offs in enumerate(_taps(kernel_size)):
         sl = tuple(slice(offs[d], offs[d] + out_sp[d])
                    for d in range(ndims))
         xt = xcm[(slice(None), slice(None), *sl)]     # [B, C, *out]
-        kt = k3[:, t * C:(t + 1) * C]                 # [O, C, *out]
-        term = jnp.sum(kt[None].astype(jnp.float32)
-                       * xt[:, None].astype(jnp.float32), axis=2)
-        y = term if y is None else y + term           # [B, O, *out]
+        for c in range(C):
+            kt = k3[:, t * C + c]                     # [O, *out]
+            term = (kt[None].astype(jnp.float32)
+                    * xt[:, c][:, None].astype(jnp.float32))
+            y = term if y is None else y + term       # [B, O, *out]
     return jnp.moveaxis(y, 1, -1)                     # [B, *out, O]
 
 
