@@ -259,8 +259,10 @@ class LocallyConnected(nn.Module):
     kernel_layout selects the parameter storage: 'keras' = [V, prod(k)*Cin,
     filters] (reference layout); 'transposed' = [filters, prod(k)*Cin, V]
     (lane-dense tap rows — the head fast path, docs/DESIGN.md "LC head");
-    'auto' (default) picks 'transposed' for head-style stride-1 layers with
-    Cin*filters <= 64. NOTE under 'auto' the stored SHAPE depends on the
+    'auto' (default) picks 'transposed' for single-filter stride-1 layers
+    with Cin <= 64 (filters > 1 measured fastest on the MXU einsum path —
+    docs/DESIGN.md "LC head"). NOTE under 'auto' the stored SHAPE depends
+    on the
     input's channel count — resizing channels across the boundary
     shape-breaks checkpoints (migrate with `ops.lc_tap.keras_to_transposed`
     / `transposed_to_keras`), and fan-out-sensitive initializers (glorot)
@@ -320,7 +322,14 @@ class LocallyConnected(nn.Module):
         assert self.kernel_layout in ('auto', 'transposed', 'keras'), \
             f'bad kernel_layout {self.kernel_layout}'
         if self.kernel_layout == 'auto':
-            transposed = in_ch * self.filters <= 64 \
+            # transposed storage wins ONLY for single-filter heads (r4
+            # measurement, benchmarks/lc_filters.py at 96^3 C=4 O=4,
+            # 0.38G params: einsum fwd+grad 8.9 ms vs per-tap 24.4,
+            # Pallas 41.5, XLA-transposed 147.9 — at filters>1 the MXU
+            # batched matmul is the fastest form by 3-16x, while at
+            # filters=1 it wastes the MXU and patch extraction dominates,
+            # where transposed+Pallas took the config-#3 step 132.7->80.7)
+            transposed = self.filters == 1 and in_ch <= 64 \
                 and all(s == 1 for s in st)
         else:
             transposed = self.kernel_layout == 'transposed'
@@ -377,9 +386,13 @@ class LocallyConnected(nn.Module):
             y = y.astype(x.dtype)
             out_shape = _lc_out_shape(x.shape[1:-1], ks, st, padding)
             y = y.reshape(y.shape[0], nb_out, self.filters)
-        elif in_ch * self.filters <= 64:
-            # strided small-C fallback: per-tap VPU multiply-reduce over
-            # shifted views (no patch materialization)
+        elif (in_ch * self.filters <= 64
+              and nb_out * feature_dim * 4 > 2 ** 30):
+            # small per-voxel matrices at huge V: the einsum path's f32
+            # patch tensor ([V, k^N*Cin], > 1 GB here) OOMs head-scale
+            # volumes (measured at 160^3); the per-tap VPU multiply-reduce
+            # never materializes it (fwd+grad 24.4 ms vs einsum 8.9 at
+            # 96^3 C=4 O=4 — einsum wins when the patches fit)
             y, out_shape = _lc_per_tap(x.astype(ct), kernel, ks, st, padding,
                                        self.filters)
             y = y.astype(x.dtype)

@@ -96,7 +96,7 @@ def _lc_transposed_impl(x, kernel, kernel_size, padding):
     # C) gave XLA's layout assignment a C axis to put on lanes: measured
     # fwd 17.1 -> 86.3 ms at the 160^3 head, and its grad remats f32
     # copies of the 884 MB kernel (HLO-temp OOM). Trace size is
-    # O(prod(k)*C) terms; the routing threshold (C*filters <= 64,
+    # O(prod(k)*C) terms; the routing threshold (filters == 1, C <= 64,
     # layers/local.py) caps it at ~1728 — acceptable, and head-class
     # layers (C <= 16) stay in the proven round-3 envelope.
     y = None

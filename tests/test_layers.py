@@ -198,9 +198,9 @@ class TestLocallyConnected:
         v = layer.init(K0, x)
         y = np.asarray(layer.apply(v, x))
 
-        # the head-style branch (small Cin*Cout, stride 1) stores the kernel
-        # transposed [O, K*C, V]; the numpy oracle speaks keras layout
-        kernel = np.asarray(v['params']['kernel']).transpose(2, 1, 0)
+        # filters=4 routes the keras-layout einsum path under 'auto' (r4:
+        # transposed storage is single-filter-only); oracle layout matches
+        kernel = np.asarray(v['params']['kernel'])
         bias = np.asarray(v['params']['bias'])
         ks = (3,) * rank
         st = (1,) * rank
@@ -216,9 +216,10 @@ class TestLocallyConnected:
         layer = L.LocallyConnected3D(filters=5, kernel_size=3)
         v = layer.init(K0, x)
         out_vox = 4 * 4 * 4
-        # same parameter COUNT as the reference formula; the head-style
-        # branch stores [O, K*C, V] (transposed — ops/lc_tap.py)
-        assert v['params']['kernel'].shape == (5, 27 * 2, out_vox)
+        # same parameter COUNT as the reference formula; filters=5 keeps
+        # the keras layout [V, K*C, O] under 'auto' (r4: transposed
+        # storage is single-filter-only)
+        assert v['params']['kernel'].shape == (out_vox, 27 * 2, 5)
         assert v['params']['bias'].shape == (4, 4, 4, 5)
 
     def test_strides(self):
@@ -248,9 +249,11 @@ class TestLocallyConnected:
             lc_tap.transposed_to_keras(t)), np.asarray(keras_k))
 
         # imported weights behave identically to the numpy keras oracle
+        # (kernel_layout pinned: 'auto' keeps keras storage at filters>1)
         x = jnp.asarray(rng.normal(size=(1, 6, 6, 6, 2)).astype(np.float32))
         layer = L.LocallyConnected3D(filters=3, kernel_size=3,
-                                     use_bias=False)
+                                     use_bias=False,
+                                     kernel_layout='transposed')
         y = np.asarray(layer.apply({'params': {'kernel': t}}, x))
         want = np_locally_connected(np.asarray(x), np.asarray(keras_k),
                                     None, (3, 3, 3), (1, 1, 1), 3)
@@ -262,12 +265,12 @@ class TestLocallyConnected:
         x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float32))
         layer = L.LocallyConnected2D(filters=3, kernel_size=3, use_bias=False)
         v = layer.init(K0, x)
-        k = np.asarray(v['params']['kernel'])       # transposed [O, K*C, V]
-        k_tied = np.broadcast_to(k[..., :1], k.shape)
+        k = np.asarray(v['params']['kernel'])       # keras [V, K*C, O] (r4:
+        k_tied = np.broadcast_to(k[:1], k.shape)    # filters>1 routes keras)
         v = {'params': {'kernel': jnp.asarray(k_tied)}}
         y = np.asarray(layer.apply(v, x))
         # oracle: correlate with the single kernel reshaped [3,3,2,3]
-        kmat = k_tied[:, :, 0].T.reshape(3, 3, 2, 3)
+        kmat = k_tied[0].reshape(3, 3, 2, 3)
         want = jax.lax.conv_general_dilated(
             x, jnp.asarray(kmat), (1, 1), 'VALID',
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -596,7 +599,7 @@ class TestLocallyConnectedKernelLayout:
         V, TC = 4 * 6 * 6, 27 * 2
         assert vk['params']['kernel'].shape == (V, TC, 1)
         assert vt['params']['kernel'].shape == (1, TC, V)
-        # auto picks transposed here (Cin*filters=2 <= 64, stride 1)
+        # auto picks transposed here (filters=1, Cin=2 <= 64, stride 1)
         _, va = self._apply('auto', x, K0)
         assert va['params']['kernel'].shape == (1, TC, V)
 

@@ -231,7 +231,7 @@ def test_lc_head_tensor_parallel_weights():
     kernel is per-voxel, so sharding the voxel axis over 'space' alongside
     the input's spatial sharding needs NO collectives for the layer itself —
     per-device weight memory drops by the space factor. The head-style
-    (small Cin*Cout, stride 1) branch stores the kernel TRANSPOSED,
+    (filters=1, stride 1) branch stores the kernel TRANSPOSED,
     [O, k^3*Cin, V] (ops/lc_tap.py), so the voxel axis is LAST.
     Parity vs the unsharded step, and shard shapes verified."""
     from jax.sharding import PartitionSpec as P
@@ -239,7 +239,7 @@ def test_lc_head_tensor_parallel_weights():
 
     import flax.linen as nn
 
-    size, cin, cout = 8, 2, 3
+    size, cin, cout = 8, 2, 1
 
     class LCHead(nn.Module):
         @nn.compact
