@@ -61,9 +61,13 @@ def draw_labelmap(key):
 
 def draw_dataset():
     """One synth program, N_TRAIN+N_VAL draws: (image f32, labels int8)."""
+    # seeds={'mean': 7} pins the per-label intensity mapping across draws
+    # (random per-volume mappings left intensity uncorrelated with labels
+    # across the dataset — at a 300-step budget nothing could be learned:
+    # all variants plateaued near -0.1); warp/bias/noise stay random.
     gen = ne.models.labels_to_image_new(
         labels_in=list(range(NB_LABELS)), out_shape=(SIZE,) * 3,
-        one_hot=False)
+        one_hot=False, seeds={'mean': 7})
     lab0 = draw_labelmap(jax.random.PRNGKey(99))
     gv = jax.jit(gen.init)({'params': jax.random.PRNGKey(0),
                             'augment': jax.random.PRNGKey(1)}, lab0)
