@@ -356,7 +356,9 @@ def main():
     warp_oh_s = warp_oh_s if warp_oh_s and warp_oh_s > 0 else None
     s2d4_rate = with_deadline(lambda: s2d_rate(4), 300) if on_tpu else None
     synth_vps = with_deadline(synth_rate, 540) if on_tpu else None
-    lc_head = with_deadline(lc_head_ms, 600) if on_tpu else None
+    # 780s: the scan-chain methodology compiles TWO programs (length-1 and
+    # length-8 chains) — ~5.5 min measured end-to-end on a cold cache
+    lc_head = with_deadline(lc_head_ms, 780) if on_tpu else None
     vae_vps = with_deadline(vae_rate, 300) if on_tpu else None
     # resize is ~2ms — needs long chains to resolve above dispatch noise
     resize_s = with_deadline(
