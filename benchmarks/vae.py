@@ -47,3 +47,13 @@ t1, state = run(3, state)
 t2, state = run(13, state)
 dt = (t2 - t1) / 10
 print(f'VAE train step {dt*1000:.1f} ms -> {1/dt:.2f} vol/s/chip', flush=True)
+
+
+if __name__ == '__main__' and not os.environ.get('VAE_SKIP_SPARSE'):
+    # config #4 as defined: the SpatiallySparse_Dense imputation path
+    from benchmarks.vae_sparse import sparse_vae_step_ms
+    t0 = time.time()
+    ms = sparse_vae_step_ms()
+    print(f'Sparse-imputation VAE (SSD encode+decode, d=256, D=128^3): '
+          f'{ms:.1f} ms/step -> {1000/ms:.2f} vol/s/chip '
+          f'(wall incl. compile {time.time()-t0:.0f}s)', flush=True)

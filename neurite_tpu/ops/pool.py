@@ -17,11 +17,27 @@ order), exactly like XLA's select_and_scatter lowering.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+
+def _use_pallas(shape, window, dtype):
+    """Route 2x2x2 3-D pools through the fused Pallas kernels on TPU
+    (ops/pool_pallas.py): reduce_window along the lane axis runs at ~16x
+    its byte roofline in the UNet step (round-5 profile). NEURITE_PALLAS_POOL
+    overrides: '0' forces XLA, '1'/'interpret' force the kernel."""
+    flag = os.environ.get('NEURITE_PALLAS_POOL', '')
+    if flag == '0':
+        return False
+    from neurite_tpu.backend import is_tpu
+    if not (flag in ('1', 'interpret') or is_tpu()):
+        return False
+    from neurite_tpu.ops.pool_pallas import supported
+    return supported(shape, window, dtype)
 
 
 def _window_reduce(x, window, init, op):
@@ -96,6 +112,9 @@ def max_pool(x, window, strides=None, padding='VALID'):
     spatial = x.shape[1:-1]
     if (strides == window and len(spatial) == len(window)
             and all(s % w == 0 for s, w in zip(spatial, window))):
+        if _use_pallas(x.shape, window, x.dtype):
+            from neurite_tpu.ops.pool_pallas import max_pool2_3d
+            return max_pool2_3d(x)
         return _max_pool_tiled(x, window)
     import flax.linen as nn
     return nn.max_pool(x, window_shape=window, strides=strides,

@@ -1070,3 +1070,65 @@ def test_lc_transposed_custom_vjp_matches_autodiff(padding, C, O, B):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dkc), np.asarray(dkr),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused max-pool (ops/pool_pallas.py) — interpret mode. Replaces the
+# lane-axis reduce_window pair that ran at ~16x its byte roofline in the
+# UNet-128^3 step (round-5 profile, docs/DESIGN.md).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('shape,dt', [
+    ((1, 16, 8, 8, 8), jnp.float32),
+    ((2, 8, 16, 8, 16), jnp.float32),
+    ((1, 16, 12, 20, 16), jnp.bfloat16),
+])
+def test_pool_pallas_matches_tiled(shape, dt, monkeypatch):
+    monkeypatch.setenv('NEURITE_PALLAS_POOL', 'interpret')
+    import importlib
+    from neurite_tpu.ops import pool_pallas
+    importlib.reload(pool_pallas)
+    from neurite_tpu.ops.pool import _max_pool_tiled
+    # quantized values force duplicated maxima -> tie-break paths
+    x = jnp.asarray(np.round(rng.normal(size=shape) * 2) / 2, dt)
+    ref = _max_pool_tiled(x, (2, 2, 2))
+    got = pool_pallas.max_pool2_3d(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    g = jnp.asarray(rng.normal(size=ref.shape), dt)
+    _, vr = jax.vjp(lambda v: _max_pool_tiled(v, (2, 2, 2)), x)
+    _, vn = jax.vjp(pool_pallas.max_pool2_3d, x)
+    np.testing.assert_array_equal(np.asarray(vn(g)[0]), np.asarray(vr(g)[0]))
+
+
+def test_pool_pallas_supported_gate():
+    from neurite_tpu.ops import pool_pallas
+    assert pool_pallas.supported((1, 128, 128, 128, 16), (2, 2, 2),
+                                 jnp.bfloat16)
+    assert not pool_pallas.supported((1, 128, 128, 128, 7), (2, 2, 2),
+                                     jnp.bfloat16)          # odd channels
+    assert not pool_pallas.supported((1, 127, 128, 128, 16), (2, 2, 2),
+                                     jnp.bfloat16)          # odd spatial
+    assert not pool_pallas.supported((1, 64, 64, 16), (2, 2),
+                                     jnp.float32)            # 2-D
+
+
+# ---------------------------------------------------------------------------
+# Single-pass weight-gradient formulations for the z-decomposed conv
+# (ops/zdecomp.py dw_impl): the per-tap default re-read the full volumes kd
+# times (~5.5ms of the 30ms UNet step, round-5 profile).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('impl', ['gstack', 'conv3d'])
+@pytest.mark.parametrize('kd,f', [(3, 7), (2, 4)])
+def test_conv_z2d_dw_impls_match_pertap(impl, kd, f):
+    from neurite_tpu.ops.zdecomp import conv_z2d
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 12, 5)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(kd, 3, 3, 5, f)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 8, 10, 12, f)), jnp.float32)
+    y0, vjp0 = jax.vjp(lambda a, b: conv_z2d(a, b, dw_impl='pertap'), x, k)
+    y1, vjp1 = jax.vjp(lambda a, b: conv_z2d(a, b, dw_impl=impl), x, k)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    (dx0, dk0), (dx1, dk1) = vjp0(g), vjp1(g)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk1), np.asarray(dk0),
+                               atol=1e-4, rtol=1e-5)
