@@ -47,6 +47,36 @@ def device_op_totals(logdir, plane_match=('/device:',)):
     return totals
 
 
+def device_timeline_stats(logdir, plane_match=('/device:',)):
+    """Per device-plane line: busy time (sum of event durations, overlap-
+    merged) vs span (last end - first start) — the direct measurement of
+    SCHEDULING GAPS a per-op total cannot see. Returns
+    {(plane, line): (busy_ms, span_ms, n_events)}."""
+    out = {}
+    for xs in _load_xspaces(logdir):
+        for plane in xs.planes:
+            if not any(m in plane.name for m in plane_match):
+                continue
+            for line in plane.lines:
+                iv = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                            for ev in line.events)
+                if not iv:
+                    continue
+                busy = 0
+                cs, ce = iv[0]
+                for s, e in iv[1:]:
+                    if s > ce:
+                        busy += ce - cs
+                        cs, ce = s, e
+                    else:
+                        ce = max(ce, e)
+                busy += ce - cs
+                span = max(m[1] for m in iv) - iv[0][0]
+                out[(plane.name, line.name or str(line.id))] = (
+                    busy / 1e9, span / 1e9, len(line.events))
+    return out
+
+
 def profile_top_ops(run_step, steps=5, top=30, logdir=None, quiet=False):
     """Run `run_step(i)` for i in range(steps) under a trace; return and
     (optionally) print the top ops by total device ms (divided by steps)."""

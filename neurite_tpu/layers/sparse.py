@@ -19,6 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# D*d element threshold above which the encode path switches from the
+# one-shot masked-Wo graph to the chunked-scan normal equations (same math,
+# no [N, D, d] materialization); module-level so tests can patch it down.
+_ENCODE_CHUNK_ELEMS = 1 << 25
+
+
 def _normal_init(stddev=0.05, mean=0.0):
     def init(key, shape, dtype=jnp.float32):
         return mean + stddev * jax.random.normal(key, shape, dtype)
@@ -70,10 +76,42 @@ class SpatiallySparse_Dense(nn.Module):
             y_flat = y.reshape(y.shape[0], -1)            # N x D
             mask_flat = y_mask.reshape(y_mask.shape[0], -1)  # N x D
 
-            Wo = W.T[None] * mask_flat[..., None]         # N x D x d
-            WoT = jnp.swapaxes(Wo, 1, 2)                  # N x d x D
-            wotwo = jnp.einsum('ndD,nDe->nde', WoT, Wo)   # N x d x d
-            rhs = jnp.einsum('ndD,nD->nd', WoT, y_flat)   # N x d
+            d = self.output_len
+            if D * d <= _ENCODE_CHUNK_ELEMS:
+                # small volumes: one-shot masked normal equations (the
+                # reference graph shape, ref `layers.py:705-711`)
+                Wo = W.T[None] * mask_flat[..., None]         # N x D x d
+                WoT = jnp.swapaxes(Wo, 1, 2)                  # N x d x D
+                wotwo = jnp.einsum('ndD,nDe->nde', WoT, Wo)   # N x d x d
+                rhs = jnp.einsum('ndD,nD->nd', WoT, y_flat)   # N x d
+            else:
+                # volume scale (128^3 x d=256 -> Wo would be 2.1 GB per
+                # sample): same math, never materializing [N, D, d].
+                # wotwo[n] = A^T diag(m_n) A with A = W^T, accumulated over
+                # D-chunks by lax.scan (each chunk a masked [N,d,C]@[C,d]
+                # MXU matmul; m binary => m^2 = m); rhs[n] = A^T (m_n*y_n)
+                # is ONE [N,D]@[D,d] matmul. Exact same wotwo/rhs as above.
+                A = W.T                                        # D x d
+                chunk = 1 << 16
+                while D % chunk:
+                    chunk >>= 1
+                k = D // chunk
+                a_ch = A.reshape(k, chunk, d)
+                m_ch = jnp.moveaxis(
+                    mask_flat.reshape(-1, k, chunk), 1, 0)     # k x N x C
+
+                def body(acc, xs):
+                    a_c, m_c = xs                              # [C,d],[N,C]
+                    b_c = a_c[None] * m_c[..., None]           # N x C x d
+                    return acc + jnp.einsum(
+                        'ncd,ce->nde', b_c, a_c,
+                        preferred_element_type=jnp.float32), None
+
+                n = y_flat.shape[0]
+                wotwo, _ = jax.lax.scan(
+                    body, jnp.zeros((n, d, d), jnp.float32), (a_ch, m_ch))
+                rhs = jnp.einsum('nD,Dd->nd', mask_flat * y_flat, A,
+                                 preferred_element_type=jnp.float32)
             res = jnp.linalg.solve(wotwo, rhs[..., None])[..., 0]  # N x d
             if self.use_bias:
                 res = res + bias[None]

@@ -153,29 +153,46 @@ def _warp_p(vol, loz, loy, lox, wz, wy, wx, z0, y0, *, Sz, Sy, bz, by,
 # ---------------------------------------------------------------------------
 
 
-def _gather_lanes(rows, idx, W):
-    """Per-lane gather `out[j, w] = rows[j, idx[j, w]]` for lane extents
-    beyond one vreg: Mosaic's `tpu.dynamic_gather` shuffles within a SINGLE
-    128-lane source vreg, so W > 128 splits the source into 128-lane
-    panels, gathers each (same index vector, clipped into the panel), and
-    selects by index panel — (W/128)^2 hardware gathers total, linear
-    per-point cost in W/128."""
+def _gather_prep(idx, W):
+    """Precompute the panel-split gather's per-panel relative indices and
+    selection masks (W > 128). These depend only on the x index field — NOT
+    on the gathered rows — so the kernel hoists them out of the (sz, k)
+    window loops: the r4 form recomputed clip/sub/compare per gather call,
+    ~3x the vector-op budget of the gathers themselves at W=160 (the
+    measured 0.56 Gvox/s panel-path cliff, VERDICT r4 #4a)."""
     if W <= 128:
-        return jnp.take_along_axis(rows, idx, axis=1)
-    # both source AND output split into 128-lane panels: Mosaic's gather
-    # lowering requires index shape == source shape, so each (source panel,
-    # output panel) pair is one matched [sub, 128] tpu.dynamic_gather
+        return [(idx, None)]
+    P = W // 128
+    prep = []
+    for o in range(P):
+        idx_o = idx[:, o * 128:(o + 1) * 128]
+        pv = []
+        for v in range(P):
+            rel = jnp.clip(idx_o - v * 128, 0, 127)
+            sel = (idx_o >= v * 128) & (idx_o < (v + 1) * 128)
+            pv.append((rel, sel))
+        prep.append(pv)
+    return prep
+
+
+def _gather_lanes(rows, prep, W):
+    """Per-lane gather `out[j, w] = rows[j, idx[j, w]]` using indices
+    prepared by `_gather_prep`. W <= 128 is ONE single-vreg
+    tpu.dynamic_gather (Mosaic's only gather shape); W > 128 splits source
+    AND output into 128-lane panels — per (output, source) panel pair one
+    matched [sub, 128] gather, zero-masked and summed (each index selects
+    exactly one panel, so the sum IS the select)."""
+    if W <= 128:
+        return jnp.take_along_axis(rows, prep[0][0], axis=1)
     P = W // 128
     outs = []
     for o in range(P):
-        idx_o = idx[:, o * 128:(o + 1) * 128]
-        acc = jnp.zeros(idx_o.shape, rows.dtype)
+        acc = None
         for v in range(P):
             panel = rows[:, v * 128:(v + 1) * 128]
-            rel = jnp.clip(idx_o - v * 128, 0, 127)
-            g = jnp.take_along_axis(panel, rel, axis=1)
-            sel = (idx_o >= v * 128) & (idx_o < (v + 1) * 128)
-            acc = jnp.where(sel, g, acc)
+            rel, sel = prep[o][v]
+            g = jnp.where(sel, jnp.take_along_axis(panel, rel, axis=1), 0.)
+            acc = g if acc is None else acc + g
         outs.append(acc)
     return jnp.concatenate(outs, axis=1)
 
@@ -235,8 +252,10 @@ def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
             xl = jnp.clip(clx.astype(jnp.int32), 0, max(W - 2, 0))
             wx = clx - xl.astype(jnp.float32)
             xl1 = jnp.minimum(xl + 1, W - 1)
+            prep1 = _gather_prep(xl1, W)
         else:
             xl = clx.astype(jnp.int32)                 # pre-rounded field
+        prep0 = _gather_prep(xl, W)
         # hat masks = the reference corner weights (nearest fields are
         # pre-rounded, so the hat is 1 exactly at the chosen row)
         mys = [jnp.maximum(1. - jnp.abs(cyr - k), 0.) for k in range(q)]
@@ -251,9 +270,9 @@ def _kernel_v2(clz_ref, cly_ref, clx_ref, vol_ref, out_ref, slab, sem, *,
                 # sheared slice: sublane j holds slab row j + k — each
                 # output row gathers from its own window row, no broadcast
                 rows = tile[k:k + by]
-                t0 = t0 + mys[k] * _gather_lanes(rows, xl, W)
+                t0 = t0 + mys[k] * _gather_lanes(rows, prep0, W)
                 if linear:
-                    t1 = t1 + mys[k] * _gather_lanes(rows, xl1, W)
+                    t1 = t1 + mys[k] * _gather_lanes(rows, prep1, W)
             acc0 = acc0 + mz * t0
             if linear:
                 acc1 = acc1 + mz * t1

@@ -28,13 +28,19 @@ from jax import lax
 def _use_pallas(shape, window, dtype):
     """Route 2x2x2 3-D pools through the fused Pallas kernels on TPU
     (ops/pool_pallas.py): reduce_window along the lane axis runs at ~16x
-    its byte roofline in the UNet step (round-5 profile). NEURITE_PALLAS_POOL
-    overrides: '0' forces XLA, '1'/'interpret' force the kernel."""
+    its byte roofline in the UNet step (round-5 profile; in-step win
+    29.5 -> 26.7 ms at 128^3). Default-on SINGLE-CHIP only — GSPMD cannot
+    partition the custom call, so multi-device programs keep the XLA path
+    (same policy as the LC layer's Pallas gate, layers/local.py).
+    NEURITE_PALLAS_POOL overrides: '0' forces XLA, '1'/'interpret' force
+    the kernel (e.g. inside shard_map where each program is per-device)."""
     flag = os.environ.get('NEURITE_PALLAS_POOL', '')
     if flag == '0':
         return False
     from neurite_tpu.backend import is_tpu
-    if not (flag in ('1', 'interpret') or is_tpu()):
+    if flag in ('1', 'interpret'):
+        pass
+    elif not (is_tpu() and len(jax.devices()) == 1):
         return False
     from neurite_tpu.ops.pool_pallas import supported
     return supported(shape, window, dtype)

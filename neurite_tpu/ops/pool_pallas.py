@@ -57,9 +57,15 @@ def supported(x_shape, window, dtype):
     return d >= 8
 
 
-def _pick_hb(h2, row_bytes, budget=3 * 1024 * 1024):
-    """Largest divisor of h2 whose per-block bytes stay under ~budget."""
-    hb = max(1, min(h2, budget // max(1, row_bytes)))
+def _pick_hb(h2, w, c, d, bytes_per_elem, budget=10 * 1024 * 1024):
+    """Largest divisor of h2 whose estimated kernel VMEM stack stays under
+    `budget`. Mosaic pads the lane axis to 128, so a d<128 block costs
+    128/d x its logical bytes (the 32^3/C=64 UNet level OOM'd the in-step
+    16MB scoped-vmem limit this way: stack measured ~8.6 B per PADDED
+    x-block element for the bwd kernel). bytes_per_elem is the per-kernel
+    empirical live-temp cost per padded element."""
+    u = 2 * w * c * max(d, 128) * bytes_per_elem
+    hb = max(1, min(h2, budget // max(1, u)))
     while h2 % hb:
         hb -= 1
     return hb
@@ -159,8 +165,7 @@ def _call_fwd(xt):
     pl = _pl()
     b, h, w, c, d = xt.shape
     h2, w2, d2 = h // 2, w // 2, d // 2
-    row_bytes = 2 * w * c * d * xt.dtype.itemsize
-    hb = _pick_hb(h2, row_bytes)
+    hb = _pick_hb(h2, w, c, d, bytes_per_elem=6)
     return pl.pallas_call(
         _fwd_kernel,
         out_shape=jax.ShapeDtypeStruct((b, h2, w2, c, d2), xt.dtype),
@@ -177,8 +182,7 @@ def _call_bwd(xt, yt, gt):
     pl = _pl()
     b, h, w, c, d = xt.shape
     h2, w2, d2 = h // 2, w // 2, d // 2
-    row_bytes = 2 * 2 * w * c * d * xt.dtype.itemsize   # x + dx blocks
-    hb = _pick_hb(h2, row_bytes)
+    hb = _pick_hb(h2, w, c, d, bytes_per_elem=9)
     return pl.pallas_call(
         _bwd_kernel,
         out_shape=jax.ShapeDtypeStruct(xt.shape, xt.dtype),

@@ -8,4 +8,5 @@ from neurite_tpu.parallel.mesh import (  # noqa: F401
 )
 from neurite_tpu.parallel.halo import (  # noqa: F401
     halo_exchange, sharded_conv, sharded_separable_blur, sharded_dice_sums,
+    sharded_lc, sharded_bounded_warp,
 )

@@ -135,3 +135,96 @@ def test_sharded_bounded_warp_channels_and_big_z_shift():
     got = halo.sharded_bounded_warp(vol, shift, mesh, max_disp=4.0,
                                     fill_value=0.)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sharded_lc_matches_unsharded(mesh):
+    """Spatially-sharded LC head (parallel.sharded_lc): z-sharded volume +
+    z-sharded per-voxel weights, halo exchange only — fwd AND grads must
+    match the single-device transposed tap sum (ops/lc_tap.py)."""
+    from neurite_tpu.ops import lc_tap
+
+    B, D, H, W, C, O = 2, 16, 6, 6, 3, 1
+    ks = (3, 3, 3)
+    tc = int(np.prod(ks)) * C
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(O, tc, D * H * W)) * 0.1,
+                       jnp.float32)
+    want = lc_tap.lc_transposed(x, kern, ks, 'same')
+
+    from neurite_tpu import parallel
+    k4 = kern.reshape(O, tc, D, H * W)
+    got = parallel.sharded_lc(x, k4, ks, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, -1, O), np.asarray(want).reshape(B, -1, O),
+        atol=1e-5)
+
+    # gradients: dx crosses shard boundaries (transposed ppermute), dk is
+    # produced on the owning shard
+    g = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+
+    def loss_ref(xx, kk):
+        return jnp.sum(lc_tap.lc_transposed(xx, kk, ks, 'same') * g)
+
+    def loss_sh(xx, kk):
+        y = parallel.sharded_lc(xx, kk.reshape(O, tc, D, H * W), ks, mesh)
+        return jnp.sum(y * g.reshape(y.shape))
+
+    dxr, dkr = jax.grad(loss_ref, argnums=(0, 1))(x, kern)
+    dxs, dks = jax.grad(loss_sh, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(dxs), np.asarray(dxr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dks), np.asarray(dkr), atol=1e-4)
+
+
+def test_sharded_lc_pallas_impl_matches_tap(mesh):
+    """sharded_lc(impl='pallas') — the v2 Pallas kernel per shard with its
+    V axis sharded by construction (the multi-device route around the
+    160^3 pure-XLA compile crash, docs/DESIGN.md) — must match the tap
+    form exactly (interpret mode on the CPU mesh)."""
+    from neurite_tpu import parallel
+
+    B, D, H, W, C, O = 1, 16, 8, 8, 2, 1
+    ks = (3, 3, 3)
+    tc = int(np.prod(ks)) * C
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+    k4 = jnp.asarray(rng.normal(size=(O, tc, D, H * W)) * 0.1, jnp.float32)
+    want = parallel.sharded_lc(x, k4, ks, mesh, impl='tap')
+    got = parallel.sharded_lc(x, k4, ks, mesh, impl='pallas',
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g = jnp.asarray(rng.normal(size=np.shape(want)), jnp.float32)
+
+    def loss(kk, impl, interp):
+        y = parallel.sharded_lc(x, kk, ks, mesh, impl=impl, interpret=interp)
+        return jnp.sum(y * g)
+
+    dk_tap = jax.grad(lambda kk: loss(kk, 'tap', False))(k4)
+    dk_pal = jax.grad(lambda kk: loss(kk, 'pallas', True))(k4)
+    np.testing.assert_allclose(np.asarray(dk_pal), np.asarray(dk_tap),
+                               atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_lc_head_scale_160(mesh):
+    """Head-scale smoke (VERDICT r4 #5): the 160^3 config-#3 LC head runs
+    z-sharded across the mesh — fwd + grads finite, shard shapes right.
+    (The single-device pure-XLA 160^3 step crashes the TPU pool's remote
+    compiler; per-shard programs are the compiling form.)"""
+    from neurite_tpu import parallel
+
+    D, C, O = 160, 2, 1
+    ks = (3, 3, 3)
+    tc = int(np.prod(ks)) * C
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(1, D, D, D, C)).astype(np.float32))
+    k4 = jnp.asarray(
+        (r.normal(size=(O, tc, D, D * D)) * 0.02).astype(np.float32))
+
+    def loss(kk):
+        y = parallel.sharded_lc(x, kk, ks, mesh)
+        return jnp.mean(y ** 2)
+
+    lval, dk = jax.value_and_grad(loss)(k4)
+    assert np.isfinite(float(lval))
+    assert dk.shape == k4.shape
+    assert np.isfinite(np.asarray(dk[:, :, ::37, ::53])).all()

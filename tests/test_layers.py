@@ -355,6 +355,32 @@ class TestSparseDense:
         assert z.shape == (2, 3)
         assert np.isfinite(np.asarray(z)).all()
 
+    def test_encode_chunked_matches_oneshot(self, monkeypatch):
+        """The volume-scale chunked-scan normal equations (no [N, D, d]
+        materialization) must match the one-shot masked-Wo graph exactly —
+        values AND gradients (layers/sparse.py encode path)."""
+        from neurite_tpu.layers import sparse as sparse_mod
+        rng = np.random.default_rng(3)
+        layer = L.SpatiallySparse_Dense(input_shape=(8, 16), output_len=6)
+        y = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+        mask = jnp.asarray(
+            (rng.uniform(size=(2, 8, 16)) > 0.4).astype(np.float32))
+        v = layer.init(K0, [y, mask])
+
+        def enc_loss(vv, yy):
+            return jnp.sum(layer.apply(vv, [yy, mask]) ** 2)
+
+        z0 = layer.apply(v, [y, mask])
+        g0 = jax.grad(enc_loss, argnums=(0, 1))(v, y)
+        monkeypatch.setattr(sparse_mod, '_ENCODE_CHUNK_ELEMS', 64)
+        z1 = layer.apply(v, [y, mask])
+        g1 = jax.grad(enc_loss, argnums=(0, 1))(v, y)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
 
 class TestStreamLayers:
     def test_mean_stream_updates(self):
