@@ -515,6 +515,13 @@ def main():
         ]
         lower_better = ['lc_head_step_ms']
         regs = []
+        # compile-time guard (VERDICT r4 #8): generous 2x threshold — the
+        # remote compile server's load swings (r2's 118s was server load,
+        # docs/DESIGN.md "Compile time"); only flag a clear blow-up
+        a, b = prev.get('compile_s'), result.get('compile_s')
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                and a > 0 and b > 2.0 * a:
+            regs.append(f'compile_s: {a} -> {b}')
         for k in higher_better:
             a, b = prev.get(k), result.get(k)
             if isinstance(a, (int, float)) and isinstance(b, (int, float)) \

@@ -54,6 +54,6 @@ if __name__ == '__main__' and not os.environ.get('VAE_SKIP_SPARSE'):
     from benchmarks.vae_sparse import sparse_vae_step_ms
     t0 = time.time()
     ms = sparse_vae_step_ms()
-    print(f'Sparse-imputation VAE (SSD encode+decode, d=256, D=128^3): '
+    print(f'Sparse-imputation VAE (SSD encode+decode, d=128, D=128^3): '
           f'{ms:.1f} ms/step -> {1000/ms:.2f} vol/s/chip '
           f'(wall incl. compile {time.time()-t0:.0f}s)', flush=True)

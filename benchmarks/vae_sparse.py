@@ -3,8 +3,8 @@ VAE at volume scale (VERDICT r4 missing #1).
 
 Sparse-slice observation (16 of 128 z-slices), SSD encode (per-sample
 masked normal-equations solve, ref `neurite/tf/layers.py:705-711`) -> VAE
-bottleneck -> shared-weight SSD decode, MSE on observed voxels. d=256
-latents over D=128^3 -> a 2.1M x 256 decode matrix (anatomical-priors
+bottleneck -> shared-weight SSD decode, MSE on observed voxels. d=128
+latents over D=128^3 -> a 2.1M x 128 decode matrix (anatomical-priors
 CVPR'18 architecture at headline scale).
 
 Importable without side effects; `python benchmarks/vae_sparse.py` runs it.
@@ -27,7 +27,7 @@ import neurite_tpu as ne
 from neurite_tpu import training
 
 SIZE = 128
-LATENT = 256
+LATENT = 128
 
 
 class SparseVAE(nn.Module):
