@@ -265,7 +265,10 @@ def main():
         def pre(xv, lv):
             img = ne.utils.resize(xv, vol / raw, interp_method='linear')
             img = ne.utils.minmax_norm(img)
-            seg = ne.utils.resize(lv, vol / raw, interp_method='nearest')
+            # lv is channel-less [D, H, W]: pass an explicit 3-vector zoom
+            # (a scalar factor would treat the last axis as channels)
+            seg = ne.utils.resize(lv, [vol / raw] * 3,
+                                  interp_method='nearest')
             oh = jax.nn.one_hot(seg.astype(jnp.int32), nb_labels)
             return img[None], oh[None]
 

@@ -34,15 +34,45 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _conv_z2d_core(x, kernel):
+def _conv_z2d_core(x, kernel, form=None):
     """SAME/stride-1 z-decomposed conv, no bias: [B,D,H,W,C] x
-    [kd,kh,kw,C,F] -> [B,D,H,W,F]. Dtypes must already match."""
+    [kd,kh,kw,C,F] -> [B,D,H,W,F]. Dtypes must already match.
+
+    form='inslice' (r2-r4): per tap, z-slab slice of the padded input ->
+    conv2d -> sum. XLA lays these volumes out with z on LANES, so each
+    input slab is a lane-shifted RELAYOUT COPY that cannot fuse into the
+    conv operand — the round-5 profile bills ~12.5 ms/step of `slice` ops
+    in the 26 ms UNet-128^3 step to exactly these.
+    form='outslice' (r5, measured and REJECTED): conv the FULL padded
+    plane stack once per tap and shift on the OUTPUT side, hoping the
+    z-shifted output slices fuse into the add. In-step it measures
+    39.04 ms vs 25.89 inslice (pool=1, 128^3) — the input slab copies
+    overlap with compute in the real schedule while the lane-offset
+    output adds serialize; kept as an opt-in so the measurement is
+    reproducible."""
     b, d, h, w, c = x.shape
     kd = kernel.shape[0]
     f = kernel.shape[-1]
     pad_lo = (kd - 1) // 2
     pad_hi = kd - 1 - pad_lo
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+    if form is None:
+        form = os.environ.get('NEURITE_Z2D_FORM', 'inslice')
+    if form == 'outslice':
+        dp = d + kd - 1
+        x2 = xp.reshape(b * dp, h, w, c)
+        dn2 = lax.conv_dimension_numbers(
+            (b * dp, h, w, c), kernel.shape[1:], ('NHWC', 'HWIO', 'NHWC'))
+        y = None
+        for a in range(kd):
+            part = lax.conv_general_dilated(
+                x2, kernel[a], (1, 1), 'SAME', dimension_numbers=dn2)
+            p5 = part.reshape(b, dp, h, w, f)
+            # tap a of the sum reads padded plane z+a: take output rows
+            # a..a+d of this tap's full-stack conv
+            sh = lax.slice_in_dim(p5, a, a + d, axis=1)
+            y = sh if y is None else y + sh
+        return y
     dn2 = lax.conv_dimension_numbers(
         (b * d, h, w, c), kernel.shape[1:], ('NHWC', 'HWIO', 'NHWC'))
     y = None

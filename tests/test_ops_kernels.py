@@ -1132,3 +1132,21 @@ def test_conv_z2d_dw_impls_match_pertap(impl, kd, f):
     np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dk1), np.asarray(dk0),
                                atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize('kd,f', [(3, 7), (2, 4), (1, 3)])
+def test_conv_z2d_outslice_matches_inslice(kd, f):
+    """r5 'outslice' z-decomposition (conv the full padded plane stack,
+    shift on the output side — no conv-operand lane-relayout copies) must
+    match the r2-r4 'inslice' form exactly, values and gradients."""
+    from neurite_tpu.ops.zdecomp import _conv_z2d_core
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 12, 5)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(kd, 3, 3, 5, f)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 8, 10, 12, f)), jnp.float32)
+    y0, vjp0 = jax.vjp(lambda a, b: _conv_z2d_core(a, b, 'inslice'), x, k)
+    y1, vjp1 = jax.vjp(lambda a, b: _conv_z2d_core(a, b, 'outslice'), x, k)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    (dx0, dk0), (dx1, dk1) = vjp0(g), vjp1(g)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk1), np.asarray(dk0), atol=1e-4,
+                               rtol=1e-5)
