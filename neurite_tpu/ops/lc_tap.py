@@ -37,9 +37,37 @@ small C*O here; large C*O belongs on the MXU einsum path).
 
 import functools
 import itertools
+import os
 
 import jax
 import jax.numpy as jnp
+
+
+def _default_layout(x):
+    """Pin `x` to the default (row-major, minor-dim-on-lanes) layout.
+
+    The config-#3 residual root cause (r5, `benchmarks/lc_residual.py` +
+    HLO dump): XLA's layout assignment gave the 884 MB LC kernel AND its
+    adam moments a second, TC-on-lanes layout ({1,2,0}) for the dx tap
+    slices below, while the Pallas fwd/dk custom calls constrain the same
+    tensor to the default V-on-lanes layout — so every step paid ~8
+    whole-tensor relayout copies (~34 ms of the 96 ms profile; the device
+    is 99.4% busy — no scheduling gap). Constraining dx's kernel input to
+    the default layout removes the preference at its source; no-op where
+    the experimental API is unavailable."""
+    try:
+        from jax.experimental.layout import Layout, with_layout_constraint
+    except ImportError:
+        return x
+    try:
+        mode = os.environ.get('NEURITE_LC_DX_LAYOUT', 'none')
+        if mode == 'constraint':
+            return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
+        if mode == 'barrier':
+            return jax.lax.optimization_barrier(x)
+        return x
+    except Exception:
+        return x
 
 
 def _pads(kernel_size):
@@ -132,6 +160,7 @@ def lc_transposed_dx(g, kernel, kernel_size, padding, x_shape):
     sp = list(x_shape[1:-1])
     out_sp = _out_shape(sp, kernel_size, padding)
     gcm = jnp.moveaxis(g, -1, 1).astype(jnp.float32)  # [B, O, *out]
+    kernel = _default_layout(kernel)
     k3 = kernel.reshape(O, kernel.shape[1], *out_sp)
     pads = _pads(kernel_size) if padding == 'same' else [(0, 0)] * ndims
     B = g.shape[0]

@@ -81,19 +81,23 @@ def _sel_mats(d, dtype):
     return se, so
 
 
-def _lane_pair(v2, op_max, se, so):
+def _lane_pair(v2, op_max, se, so, prec=None):
     """[R, D] -> [R, D//2] pairwise max/min along lanes via selector
-    matmuls (exact: each output element is one input element)."""
+    matmuls (exact: each output element is one input element x 1.0).
+    `prec` must be HIGHEST when the values are true f32 — the MXU's
+    default bf16 passes round them (measured 4e-3 relative on TPU);
+    bf16-representable values (bf16 inputs, small-int tie-break codes)
+    are exact at any precision."""
     f = jnp.float32
     a = jax.lax.dot(v2.astype(f), se.astype(f),
-                    preferred_element_type=f)
+                    preferred_element_type=f, precision=prec)
     b = jax.lax.dot(v2.astype(f), so.astype(f),
-                    preferred_element_type=f)
+                    preferred_element_type=f, precision=prec)
     r = jnp.maximum(a, b) if op_max else jnp.minimum(a, b)
     return r.astype(v2.dtype)
 
 
-def _pool_pairs(x4, op_max, se, so):
+def _pool_pairs(x4, op_max, se, so, prec=None):
     """[2hb, W, C, D] -> [hb, W/2, C, D/2] max/min over 2x2x2 windows.
 
     Mosaic only lowers shape casts that keep the two minor dims intact, so
@@ -107,18 +111,20 @@ def _pool_pairs(x4, op_max, se, so):
     v = op(v[:, 0], v[:, 1])                                    # h pairs
     v = v.reshape(hb, w2, 2, c, d)
     v = op(v[:, :, 0], v[:, :, 1])                              # w pairs
-    out = _lane_pair(v.reshape(hb * w2 * c, d), op_max, se, so)  # d pairs
+    out = _lane_pair(v.reshape(hb * w2 * c, d), op_max, se, so,
+                     prec)                                       # d pairs
     return out.reshape(hb, w2, c, d // 2)
 
 
-def _up(v4, e):
+def _up(v4, e, prec=None):
     """[hb, W2, C, D2] -> [2hb, W, C, D] nearest upsample (exact routing):
     lanes via the expansion matmul, rows via broadcast into a new middle
     axis (leading-dims-only reshapes — see _pool_pairs)."""
     hb, w2, c, d2 = v4.shape
     f = jnp.float32
     v = jax.lax.dot(v4.reshape(hb * w2 * c, d2).astype(f), e.astype(f),
-                    preferred_element_type=f).astype(v4.dtype)
+                    preferred_element_type=f,
+                    precision=prec).astype(v4.dtype)
     d = 2 * d2
     v = v.reshape(hb, w2, 1, c, d)
     v = jnp.broadcast_to(v, (hb, w2, 2, c, d)).reshape(hb, w2 * 2, c, d)
@@ -129,8 +135,9 @@ def _up(v4, e):
 
 def _fwd_kernel(x_ref, y_ref):
     x = x_ref[0]                                   # [2hb, W, C, D]
+    prec = ('highest' if jnp.dtype(x_ref.dtype) == jnp.float32 else None)
     se, so = _sel_mats(x.shape[-1], x.dtype)
-    y_ref[0] = _pool_pairs(x, True, se, so)
+    y_ref[0] = _pool_pairs(x, True, se, so, prec)
 
 
 def _bwd_kernel(x_ref, y_ref, g_ref, dx_ref):
@@ -140,13 +147,14 @@ def _bwd_kernel(x_ref, y_ref, g_ref, dx_ref):
     x = x_ref[0].astype(jnp.float32)               # [2hb, W, C, D]
     y = y_ref[0].astype(jnp.float32)               # [hb, W2, C, D2]
     g = g_ref[0]
+    prec = ('highest' if jnp.dtype(x_ref.dtype) == jnp.float32 else None)
     hb2, w, c, d = x.shape
     se, so = _sel_mats(d, x.dtype)
     i = jax.lax.broadcasted_iota(jnp.int32, (d // 2, d), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (d // 2, d), 1)
     e = (j // 2 == i).astype(x.dtype)
 
-    eq = x == _up(y, e)
+    eq = x == _up(y, e, prec)
     # first-max tie break in (D, H, W) window order: idx = pd*4 + ph*2 + pw
     # (matches ops.pool._intra_window_index for window (2,2,2))
     pd = jax.lax.broadcasted_iota(jnp.int32, x.shape, 3) % 2
@@ -155,9 +163,9 @@ def _bwd_kernel(x_ref, y_ref, g_ref, dx_ref):
     idx = (pd * 4 + ph * 2 + pw).astype(x.dtype)
     big = jnp.asarray(8, x.dtype)
     cand = jnp.where(eq, idx, big)
-    winner = _pool_pairs(cand, False, se, so)
+    winner = _pool_pairs(cand, False, se, so)      # small ints: any prec
     mask = cand == _up(winner, e)
-    gu = _up(g.astype(jnp.float32), e)
+    gu = _up(g.astype(jnp.float32), e, prec)
     dx_ref[0] = jnp.where(mask, gu, jnp.zeros_like(gu)).astype(dx_ref.dtype)
 
 
