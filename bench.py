@@ -582,6 +582,9 @@ def main():
                                    if s2d4_rate else None),
         'synth_train_vols_per_sec': (round(synth_vps, 3)
                                      if synth_vps else None),
+        # NOTE: can exceed 1.0 — XLA's cost analysis counts bytes the
+        # final fused schedule never moves (and cannot see through the
+        # Pallas custom calls), so t_min is conservative for this program
         'synth_roofline_frac': (round(synth_rf[0], 4) if synth_rf else None),
         'synth_mfu': (round(synth_rf[1], 4) if synth_rf else None),
         'unet_pre_vols_per_sec': (round(unet_pre_vps, 3)
