@@ -3,8 +3,11 @@ Sparse-observation layers.
 
 Capability parity with reference `neurite/tf/layers.py:635-739`
 (SpatiallySparse_Dense), re-designed TPU-first: the per-sample masked
-pseudo-inverse is a batched d x d linear solve (`jnp.linalg.solve`) instead of
-an explicit `tf.matrix_inverse` — numerically safer and MXU-batched.
+normal equations are a batched d x d `jnp.linalg.solve` (numerically safer
+than the reference's explicit inverse, and MXU-batched), while the shared
+decode matrix W = (M^T M)^-1 M^T uses the reference's explicit-inverse
+form — on TPU a [d, D]-RHS triangular solve lowers to thousands of slice
+ops (measured dominating the config-#4 step; see the inline comment).
 
 Citation (as in the reference): Dalca AV, Guttag J, Sabuncu MR. Anatomical
 Priors in Convolutional Networks for Unsupervised Biomedical Segmentation,
@@ -58,10 +61,18 @@ class SpatiallySparse_Dense(nn.Module):
         kernel_init = self.kernel_initializer or _normal_init()
         kernel = self.param('mult_kernel', kernel_init, (D, self.output_len))
 
-        # W = (M^T M)^-1 M^T, tracking the current kernel (differentiable)
+        # W = (M^T M)^-1 M^T, tracking the current kernel (differentiable).
+        # Computed as an explicit d x d inverse times ONE [d,d]@[d,D]
+        # matmul — the reference's own form (`tf.matrix_inverse`,
+        # `layers.py:700-703`) and the TPU-right one: jnp.linalg.solve
+        # with a [d, D] RHS lowers to XLA's blocked triangular_solve,
+        # which at D=128^3 emitted ~4000 slice ops per step and dominated
+        # the train step (109.9 of 113 ms profiled, benchmarks/
+        # vae_sparse.py; the inverse of the tiny Gram matrix is exact to
+        # f32 roundoff for these well-conditioned solves).
         M = kernel  # D x d
         mtm = M.T @ M  # d x d
-        W = jnp.linalg.solve(mtm, M.T)  # d x D
+        W = jnp.linalg.inv(mtm) @ M.T  # d x D
 
         bias = None
         if self.use_bias:
