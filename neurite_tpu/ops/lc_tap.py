@@ -172,6 +172,31 @@ def lc_transposed_dx(g, kernel, kernel_size, padding, x_shape):
     # [B, *spatial] with NO channel axis — vectorizing C as a middle dim
     # ([O, C, *out] tap slices) let XLA's layout assignment put C on lanes
     # (bf16 tiles padded ~32x, a measured 52 GB HLO-temp OOM at 160^3).
+    # NEURITE_LC_DX_FORM='mstack' replaces the 108 MIDDLE-axis kernel
+    # slices (`k3[:, i]`) with one broadcast multiply + LEADING-axis
+    # slices — a probe for the config-#3 relayout tax (the middle-axis
+    # slicing is the suspected source of XLA's second kernel layout;
+    # docs/DESIGN.md "Config-#3 residual root-caused").
+    form = os.environ.get('NEURITE_LC_DX_FORM', 'percslice')
+    if form == 'mstack':
+        dxs = []
+        for b in range(B):
+            # m_all[tc, r'] = sum_o k3[o, tc, r'] g[b, o, r']
+            m_all = jnp.sum(k3.astype(jnp.float32)
+                            * gcm[b][:, None], axis=0)       # [TC, *out]
+            mp = jnp.pad(m_all, ([(0, 0)] + padcfg[1:]))
+            accs = []
+            for c in range(C):
+                acc = None
+                for t, offs in enumerate(_taps(kernel_size)):
+                    sl = tuple(slice(kernel_size[d] - 1 - offs[d],
+                                     kernel_size[d] - 1 - offs[d] + sp[d])
+                               for d in range(ndims))
+                    piece = mp[(t * C + c, *sl)]             # [*sp]
+                    acc = piece if acc is None else acc + piece
+                accs.append(acc)
+            dxs.append(jnp.stack(accs, -1))                  # [*sp, C]
+        return jnp.stack(dxs, 0)                             # [B, *sp, C]
     dxs = []
     for c in range(C):
         acc = jnp.zeros((B, *sp), jnp.float32)

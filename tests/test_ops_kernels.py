@@ -1150,3 +1150,21 @@ def test_conv_z2d_outslice_matches_inslice(kd, f):
     np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dk1), np.asarray(dk0), atol=1e-4,
                                rtol=1e-5)
+
+
+def test_lc_dx_mstack_matches_percslice(monkeypatch):
+    """The 'mstack' dx formulation (one broadcast multiply + leading-axis
+    slices; a measured-and-rejected layout probe, docs/DESIGN.md) must
+    stay numerically identical to the default per-(c)-slice form."""
+    from neurite_tpu.ops import lc_tap
+    ks, C, O, B = (3, 3, 3), 2, 2, 2
+    sp = (6, 7, 8)
+    tc = int(np.prod(ks)) * C
+    V = int(np.prod(sp))
+    g = jnp.asarray(rng.normal(size=(B, *sp, O)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(O, tc, V)), jnp.float32)
+    monkeypatch.setenv('NEURITE_LC_DX_FORM', 'percslice')
+    a = lc_tap.lc_transposed_dx(g, k, ks, 'same', (B, *sp, C))
+    monkeypatch.setenv('NEURITE_LC_DX_FORM', 'mstack')
+    b = lc_tap.lc_transposed_dx(g, k, ks, 'same', (B, *sp, C))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
