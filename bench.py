@@ -474,7 +474,9 @@ def main():
     lc_head = lc_head if lc_head and lc_head > 0 else None
     vae_vps = with_deadline(vae_rate, 300) if on_tpu else None
     # sparse-imputation VAE (two chain compiles; 447MB decode matrix)
-    vae_sparse_vps = with_deadline(vae_sparse_rate, 600) if on_tpu else None
+    # 900s: measured 467s wall on a cold cache (two chain compiles of the
+    # 1.07GB-kernel program) — 600 left no headroom for server load
+    vae_sparse_vps = with_deadline(vae_sparse_rate, 900) if on_tpu else None
     vae_sparse_vps = (vae_sparse_vps
                       if vae_sparse_vps and vae_sparse_vps > 0 else None)
     # resize is ~2ms — needs long chains to resolve above dispatch noise

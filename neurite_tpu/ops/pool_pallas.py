@@ -51,8 +51,10 @@ def supported(x_shape, window, dtype):
     b, d, h, w, c = x_shape
     if d % 2 or h % 2 or w % 2:
         return False
-    sub = 16 if dtype == jnp.bfloat16 else 8
-    if c % sub:
+    # c rides sublanes in the transposed view; 8-multiples suffice for
+    # BOTH dtypes (bf16 half-tile c=8 measured exact on v5e, fwd+bwd, at
+    # the 160^3 trunk shapes — Mosaic masks the partial (16,128) tile)
+    if c % 8:
         return False
     return d >= 8
 
@@ -64,7 +66,10 @@ def _pick_hb(h2, w, c, d, bytes_per_elem, budget=10 * 1024 * 1024):
     16MB scoped-vmem limit this way: stack measured ~8.6 B per PADDED
     x-block element for the bwd kernel). bytes_per_elem is the per-kernel
     empirical live-temp cost per padded element."""
-    u = 2 * w * c * max(d, 128) * bytes_per_elem
+    # c rides sublanes: bf16 temps tile (16, 128), so c=8 blocks still
+    # occupy 16-sublane tiles — round c up in the estimate (the 160^3
+    # c=8 bwd block measured 17.16M at the logical count's hb pick)
+    u = 2 * w * max(c, 16) * max(d, 128) * bytes_per_elem
     hb = max(1, min(h2, budget // max(1, u)))
     while h2 % hb:
         hb -= 1
