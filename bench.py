@@ -193,15 +193,17 @@ def main():
         st, mm = stp(st, (x, y), jax.random.PRNGKey(1))
         _ = float(mm['loss'])
 
-        def run2(n, st):
-            t0 = time.time()
-            for i in range(n):
-                st, mm = stp(st, (x, y), jax.random.PRNGKey(i))
-            _ = float(mm['loss'])
-            return time.time() - t0, st
-        ta, st = run2(10, st)
-        tb, st = run2(60, st)
-        return batch / ((tb - ta) / 50)
+        # device-side chain timing (benchmarks/_timing.py): at ~7-10 ms
+        # steps the host two-point fit measured tunnel dispatch jitter —
+        # 97-146 vol/s scatter across same-day runs of one program
+        from benchmarks._timing import step_chain_ms
+
+        def run_step(st2, i, xx, yy):
+            st2, _ = stp(st2, (xx, yy),
+                         jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return st2
+        ms = step_chain_ms(run_step, st, n=16, reps=3, args=(x, y))
+        return batch * 1000. / ms if ms and ms > 0 else None
 
     # BASELINE config #5: full on-device synthesis -> UNet train, one
     # program (gather-free one-hot warp engines; docs/DESIGN.md). Guarded:
@@ -522,6 +524,11 @@ def main():
                 prev = json.load(f)
         except Exception:
             return None, []
+        # the driver wraps the bench line as {"n":…, "cmd":…, "parsed":
+        # {...}} — compare against the parsed metrics, not the wrapper
+        # (the guard silently skipped every key otherwise)
+        if isinstance(prev.get('parsed'), dict):
+            prev = prev['parsed']
         higher_better = [
             'value', 'unet_roofline_frac', 'unet_mfu',
             'interpn_warp_gvoxps', 'interpn_window_gvoxps',
@@ -534,12 +541,15 @@ def main():
         ]
         lower_better = ['lc_head_step_ms']
         regs = []
-        # compile-time guard (VERDICT r4 #8): generous 2x threshold — the
-        # remote compile server's load swings (r2's 118s was server load,
-        # docs/DESIGN.md "Compile time"); only flag a clear blow-up
+        # compile-time guard (VERDICT r4 #8): generous 4x threshold — the
+        # remote compile server's load swings by >5x on the same program
+        # same day (50.3 / 252.9 / 63.8 s measured r5; r2's 118 s was
+        # load too, docs/DESIGN.md "Compile time"); the guard only flags
+        # an unambiguous blow-up — benchmarks/compile_profile.py is the
+        # controlled check for real program growth
         a, b = prev.get('compile_s'), result.get('compile_s')
         if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
-                and a > 0 and b > 2.0 * a:
+                and a > 0 and b > 4.0 * a:
             regs.append(f'compile_s: {a} -> {b}')
         for k in higher_better:
             a, b = prev.get(k), result.get(k)
@@ -582,6 +592,10 @@ def main():
                                    if resize_s else None),
         's2d4_unet_vols_per_sec': (round(s2d4_rate, 3)
                                    if s2d4_rate else None),
+        # methodology tag (ADVICE r4 precedent): r5 switched from a host
+        # two-point fit (97-146 vol/s same-day scatter — tunnel dispatch
+        # jitter at ~7ms steps) to the device scan chain (154-158 stable)
+        's2d4_unet_vols_per_sec_method': 'device_scan_chain',
         'synth_train_vols_per_sec': (round(synth_vps, 3)
                                      if synth_vps else None),
         # NOTE: can exceed 1.0 — XLA's cost analysis counts bytes the
