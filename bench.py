@@ -445,7 +445,10 @@ def main():
     loc1 = base_grid + shift1
     warp_win_md1_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
-            v, loc1, impl='window', max_disp=1.0), wvol, 1, 65), 480)
+            v, loc1, impl='window', max_disp=1.0), wvol, 1, 257), 480)
+    # 257: the md=1 warp is ~0.27 ms — a 65-chain under-resolved against
+    # tunnel jitter (one run read 41 Gvox/s, the analytic roofline;
+    # controlled chains measure 7.8-9.8)
     warp_win_md1_s = (warp_win_md1_s
                       if warp_win_md1_s and warp_win_md1_s > 0 else None)
     # bounded-displacement warp on the one-hot MXU engine: the loc field is
