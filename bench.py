@@ -430,14 +430,16 @@ def main():
     warp_win_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
             v, loc, impl='window', max_disp=3.0),
-            wvol, 1, 33), 480)
+            wvol, 1, 129), 480)
     # nearest variant of the same engine (measured ~1.7x linear on the v2
     # kernel — it skips the second tap set; VERDICT r3 weak #1 asked for
-    # this to be driver-visible)
+    # this to be driver-visible). 257-chain: at ~0.34 ms/op a 49-chain
+    # scattered 3.5-9.7 Gvox/s across same-day runs (the r5 guard caught
+    # one such reading as a false regression)
     warp_win_near_s = with_deadline(
         lambda: fit_chain(lambda v: ne.utils.interpn(
             v, loc, impl='window', interp_method='nearest',
-            max_disp=3.0), wvol, 1, 49), 480)
+            max_disp=3.0), wvol, 1, 257), 480)
     # md=1 regime of the same engine (the synthesis squarings' window class;
     # VERDICT r4 weak #2 asked for a measured number): a +-1 field
     shift1 = jnp.asarray(rng.uniform(-1, 1, size=(wv, wv, wv, 3)),
