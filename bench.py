@@ -391,15 +391,16 @@ def main():
         st, mm = stp(st, (xv, xv), jax.random.PRNGKey(1))
         _ = float(mm['loss'])
 
-        def run(n, st):
-            t0 = time.time()
-            for i in range(n):
-                st, mm = stp(st, (xv, xv), jax.random.PRNGKey(2 + i))
-            _ = float(mm['loss'])
-            return time.time() - t0, st
-        ta, st = run(3, st)
-        tb, st = run(13, st)
-        return 1. / ((tb - ta) / 10)
+        # device-side scan chain (r5): the ~7 ms step under the host
+        # two-point fit scattered 136-152 vol/s across same-day runs
+        from benchmarks._timing import step_chain_ms
+
+        def run_step(st2, i, xx):
+            st2, _ = stp(st2, (xx, xx),
+                         jax.random.fold_in(jax.random.PRNGKey(2), i))
+            return st2
+        ms = step_chain_ms(run_step, st, n=16, reps=3, args=(xv,))
+        return 1000. / ms if ms and ms > 0 else None
 
     # BASELINE config #4 as defined: SpatiallySparse_Dense sparse-imputation
     # VAE at volume scale (the per-sample masked normal-equations solve is
@@ -479,7 +480,8 @@ def main():
     # noise exceeded signal; omit rather than mislead (a negative two-point
     # slope under tunnel jitter must not skip the lower_better guard)
     lc_head = lc_head if lc_head and lc_head > 0 else None
-    vae_vps = with_deadline(vae_rate, 300) if on_tpu else None
+    # 480s: the scan-chain recipe compiles TWO programs (n=1 and n=16)
+    vae_vps = with_deadline(vae_rate, 480) if on_tpu else None
     # sparse-imputation VAE (two chain compiles; 447MB decode matrix)
     # 900s: measured 467s wall on a cold cache (two chain compiles of the
     # 1.07GB-kernel program) — 600 left no headroom for server load
@@ -625,6 +627,7 @@ def main():
         # comparable within the same method (ADVICE r4)
         'lc_head_step_ms_method': 'device_scan_chain',
         'vae_vols_per_sec': (round(vae_vps, 3) if vae_vps else None),
+        'vae_vols_per_sec_method': 'device_scan_chain',
         'vae_sparse_vols_per_sec': (round(vae_sparse_vps, 3)
                                     if vae_sparse_vps else None),
     }
